@@ -1,0 +1,185 @@
+"""Dataset loading: Neo4j-import CSVs, generic edge lists, synthetic graphs.
+
+Replaces the reference's entire L0 storage layer (the embedded Neo4j database
+opened at PPR.java:52-60 plus the ``neo4j-admin import``'ed store in
+``target/got.db``): the CSV pair that the reference imports into Neo4j
+(README.md:17-20, ``dataset/got/GOT_Nodes.csv`` / ``GOT_Rels.csv``) is loaded
+directly into the array Graph — there is no database in the TPU engine.
+
+The node-name lookup that the reference does through a Neo4j transaction
+(Algo_Util.getNodeName, Algo_Util.java:21-30) becomes a plain host-side
+``names`` list indexed by dense node id.
+"""
+
+from __future__ import annotations
+
+import csv
+import dataclasses
+import os
+
+import numpy as np
+
+from .csr import Graph, build_graph
+
+# Default location of the reference GOT dataset (read-only mount). The harness
+# falls back to a seeded synthetic graph when it is absent.
+REFERENCE_GOT_DIR = "/root/reference/dataset/got"
+
+
+@dataclasses.dataclass(frozen=True)
+class Dataset:
+    """A loaded graph plus host-side metadata."""
+
+    graph: Graph
+    names: list[str]            # dense node id -> display name (node_property)
+    name: str                   # dataset name, used for result-file prefixes
+
+    @property
+    def n(self) -> int:
+        return self.graph.n
+
+
+def _strip_bom(s: str) -> str:
+    return s.lstrip("﻿")
+
+
+def load_neo4j_csv(
+    nodes_csv: str,
+    rels_csv: str,
+    *,
+    name: str | None = None,
+    dense_threshold: int = 4096,
+) -> Dataset:
+    """Load a Neo4j-admin-import CSV pair (``:ID,...`` / ``:START_ID,:END_ID,...``).
+
+    Mirrors the import format documented at reference README.md:17-20. Node
+    ids may be arbitrary strings; they are densely remapped to 0..n-1 in file
+    order (the analogue of HeavyGraph's mapped-id space).
+    """
+    ids: list[str] = []
+    names: list[str] = []
+    with open(nodes_csv, newline="", encoding="utf-8") as f:
+        reader = csv.reader(f)
+        header = [_strip_bom(h).strip() for h in next(reader)]
+        id_col = header.index(":ID")
+        name_col = header.index("name") if "name" in header else id_col
+        for row in reader:
+            if not row:
+                continue
+            ids.append(row[id_col])
+            names.append(row[name_col])
+    id_map = {node_id: i for i, node_id in enumerate(ids)}
+
+    src, dst = [], []
+    with open(rels_csv, newline="", encoding="utf-8") as f:
+        reader = csv.reader(f)
+        header = [_strip_bom(h).strip() for h in next(reader)]
+        s_col = header.index(":START_ID")
+        e_col = header.index(":END_ID")
+        for row in reader:
+            if not row:
+                continue
+            src.append(id_map[row[s_col]])
+            dst.append(id_map[row[e_col]])
+
+    graph = build_graph(
+        np.asarray(src, np.int64),
+        np.asarray(dst, np.int64),
+        n=len(ids),
+        dense_threshold=dense_threshold,
+    )
+    if name is None:
+        name = os.path.splitext(os.path.basename(nodes_csv))[0]
+    return Dataset(graph=graph, names=names, name=name)
+
+
+def load_edge_list(
+    path: str,
+    *,
+    name: str | None = None,
+    comment: str = "#",
+    dense_threshold: int = 4096,
+) -> Dataset:
+    """Load a whitespace-separated ``src dst`` edge list (SNAP style)."""
+    src, dst = [], []
+    seen: dict[int, int] = {}
+    with open(path, encoding="utf-8") as f:
+        for line in f:
+            line = line.strip()
+            if not line or line.startswith(comment):
+                continue
+            a, b = line.split()[:2]
+            for tok in (a, b):
+                if int(tok) not in seen:
+                    seen[int(tok)] = len(seen)
+            src.append(seen[int(a)])
+            dst.append(seen[int(b)])
+    n = len(seen)
+    graph = build_graph(
+        np.asarray(src, np.int64), np.asarray(dst, np.int64), n=n,
+        dense_threshold=dense_threshold,
+    )
+    if name is None:
+        name = os.path.splitext(os.path.basename(path))[0]
+    names = [str(orig) for orig in sorted(seen, key=seen.get)]
+    return Dataset(graph=graph, names=names, name=name)
+
+
+def load_got(got_dir: str = REFERENCE_GOT_DIR, **kwargs) -> Dataset:
+    """Load the GOT benchmark dataset (107 nodes / 352 edges)."""
+    return load_neo4j_csv(
+        os.path.join(got_dir, "GOT_Nodes.csv"),
+        os.path.join(got_dir, "GOT_Rels.csv"),
+        name=kwargs.pop("name", "got"),
+        **kwargs,
+    )
+
+
+def synthetic_powerlaw(
+    n: int,
+    avg_deg: int = 16,
+    *,
+    seed: int = 0,
+    name: str | None = None,
+    dense_threshold: int = 4096,
+    dangling_frac: float = 0.01,
+) -> Dataset:
+    """Seeded scale-free-ish directed graph (preferential-attachment flavored).
+
+    Used for the million-edge benchmark configs (BASELINE.json) and as the
+    GOT fallback when the reference dataset mount is unavailable. A small
+    fraction of nodes is forced dangling (out-degree 0) so the
+    dangling-mass-to-source semantics stay exercised at scale.
+    """
+    rng = np.random.default_rng(seed)
+    m = n * avg_deg
+    # preferential attachment approximation: dst ~ (Zipf-weighted) node ids,
+    # src uniform. Generating true PA sequentially is O(m) python; instead use
+    # a static Zipf-like weight over a random permutation of node ids.
+    ranks = rng.permutation(n).astype(np.float64)
+    weights = 1.0 / (ranks + 10.0)
+    weights /= weights.sum()
+    src = rng.integers(0, n, size=m, dtype=np.int64)
+    dst = rng.choice(n, size=m, p=weights).astype(np.int64)
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+
+    if dangling_frac > 0:
+        n_dangle = max(1, int(n * dangling_frac))
+        dangling = rng.choice(n, size=n_dangle, replace=False)
+        mask = ~np.isin(src, dangling)
+        src, dst = src[mask], dst[mask]
+
+    graph = build_graph(src, dst, n=n, dense_threshold=dense_threshold)
+    return Dataset(
+        graph=graph,
+        names=[str(i) for i in range(n)],
+        name=name or f"synth_{n}_{seed}",
+    )
+
+
+def load_default(prefer_got: bool = True, **kwargs) -> Dataset:
+    """GOT if the reference mount exists, else a seeded 107-node synthetic."""
+    if prefer_got and os.path.exists(os.path.join(REFERENCE_GOT_DIR, "GOT_Nodes.csv")):
+        return load_got(**kwargs)
+    return synthetic_powerlaw(107, avg_deg=3, seed=7, name="got_fallback", **kwargs)

@@ -1,0 +1,156 @@
+"""Algorithm base classes and capability interfaces.
+
+Parity with the reference's three capability contracts:
+
+* ``Whole_Graph_Util_Interface`` (Whole_Graph_Util_Interface.java:5-12):
+  ``computeWholeGraphPPR`` / ``getWholeGraphPPR`` / ``printWholeGraphResult``
+* ``Topk_Util_Interface`` (Topk_Util_Interface.java:5-15):
+  ``computeTopKPPR`` / ``getTopKNodeIds`` / ``printTopKResult``
+* ``Preprocessing_Interface`` (Preprocessing_Interface.java:3-16):
+  ``preprocessing`` / ``readPreprocessedPPR`` / ``getPrepSize`` /
+  ``deletePrepDir``
+
+The TPU engine's native query unit is a *batch* of sources — algorithms
+implement ``compute_whole_graph_batch`` / ``compute_topk_batch`` returning
+dense ``[B, n_pad]`` score matrices, and the single-query reference-style
+methods are thin adapters over a batch of one. Results are dense arrays;
+``get_whole_graph_ppr`` exposes the sparse dict view the reference returns
+from its HashMaps (support = strictly positive entries).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+
+from ..graph.io import Dataset
+from ..ops.topk import topk_ids_with_ties
+
+
+class PPRAlgorithm:
+    """Shared state: dataset handle, alpha, deterministic RNG, last results."""
+
+    name = "ppr"
+
+    def __init__(self, dataset: Dataset, alpha: float, *, seed: int = 0):
+        self.dataset = dataset
+        self.graph = dataset.graph
+        self.alpha = float(alpha)
+        self._key = jax.random.key(seed)
+        self._last_scores: np.ndarray | None = None   # [n_pad]
+        self._last_topk_scores: np.ndarray | None = None
+
+    # --- RNG -------------------------------------------------------------
+    def next_key(self) -> jax.Array:
+        self._key, sub = jax.random.split(self._key)
+        return sub
+
+    # --- batched API (the TPU-native surface) ----------------------------
+    def compute_whole_graph_batch(self, sources: np.ndarray, param) -> np.ndarray:
+        raise NotImplementedError
+
+    def compute_topk_batch(self, sources: np.ndarray, k: int, param) -> np.ndarray:
+        """Default: whole-graph scores; top-k is a selection over them
+        (the reference pattern for MC / Forward Push / Power Method)."""
+        return self.compute_whole_graph_batch(sources, param)
+
+    # --- Whole_Graph_Util_Interface parity --------------------------------
+    def compute_whole_graph_ppr(self, source: int, param) -> None:
+        batch = self.compute_whole_graph_batch(np.asarray([source]), param)
+        self._last_scores = np.asarray(batch[0])
+        self._last_topk_scores = None
+
+    def get_whole_graph_ppr(self) -> dict[int, float]:
+        scores = self._require(self._last_scores)
+        support = np.nonzero(scores > 0.0)[0]
+        return {int(v): float(scores[v]) for v in support}
+
+    def get_whole_graph_dense(self) -> np.ndarray:
+        return self._require(self._last_scores)
+
+    def print_whole_graph_result(self) -> None:
+        scores = self._require(self._last_scores)
+        order = topk_ids_with_ties(scores, scores.size)
+        print(f"{self.name} PPR:")
+        for v in order:
+            print(f"@{self.dataset.names[int(v)]}\t{scores[int(v)]}")
+
+    # --- Topk_Util_Interface parity ---------------------------------------
+    def compute_topk_ppr(self, source: int, k: int, param) -> None:
+        batch = self.compute_topk_batch(np.asarray([source]), k, param)
+        self._last_topk_scores = np.asarray(batch[0])
+        self._last_scores = self._last_topk_scores
+
+    def get_topk_node_ids(self, k: int) -> np.ndarray:
+        scores = self._require(
+            self._last_topk_scores if self._last_topk_scores is not None
+            else self._last_scores
+        )
+        return topk_ids_with_ties(scores, k)
+
+    def print_topk_result(self, k: int) -> None:
+        ids = self.get_topk_node_ids(k)[:k]
+        scores = self._require(self._last_scores)
+        print(f"\n{self.name}-Top{k} PPR:")
+        for v in ids:
+            print(f"@{self.dataset.names[int(v)]}\t{scores[int(v)]}")
+
+    @staticmethod
+    def _require(arr):
+        if arr is None:
+            raise RuntimeError("no PPR computed yet")
+        return arr
+
+
+class PreprocessingMixin:
+    """Preprocessing_Interface parity backed by :class:`ppr_tpu.utils.store.PPRStore`.
+
+    The reference preprocessing loop (e.g. Monte_Carlo.preprocessing,
+    Monte_Carlo.java:181-232) runs the whole-graph algorithm on *every* node
+    sequentially and writes one text file per source; here sources are
+    processed in device batches and persisted as npz shards with a resume
+    manifest (see utils/store.py).
+    """
+
+    prep_dirname: str = "PREP_ppr_results"
+    _store = None
+
+    def make_store(self, param):
+        from ..utils.store import PPRStore
+        import os
+
+        root = os.path.join(self.prep_dirname, self.dataset.name, str(param))
+        return PPRStore(root, n=self.graph.n_pad)
+
+    def preprocessing(self, threshold, param, *, batch_size: int = 128,
+                      progress: bool = True) -> None:
+        from ..utils.report import progress_printer
+
+        store = self.make_store(param)
+        store.reset()
+        n = self.graph.n
+        report = progress_printer(n, enabled=progress)
+        for start in range(0, n, batch_size):
+            if store.has_batch(start):
+                continue
+            sources = np.arange(start, min(start + batch_size, n))
+            scores = self.compute_whole_graph_batch(sources, param)
+            store.write_batch(start, sources, np.asarray(scores))
+            report(min(start + batch_size, n) - 1)
+        store.finalize()
+        self._store = store
+
+    def read_preprocessed_ppr(self, source: int) -> None:
+        store = self._store or self.make_store(self._store_param())
+        self._last_scores = store.read_row(int(source))
+        self._last_topk_scores = None
+
+    def get_prep_size(self) -> int:
+        return self._store.size_bytes() if self._store else 0
+
+    def delete_prep_dir(self) -> None:
+        if self._store:
+            self._store.delete()
+
+    def _store_param(self):
+        raise RuntimeError("preprocessing() has not been run")

@@ -1,0 +1,70 @@
+"""Power-method ground truth (the oracle for every accuracy metric).
+
+Reference: Power_Method.java:44-100 — 100 synchronous residue-propagation
+iterations: every node with residue transfers alpha*r to its reserve and
+(1-alpha)*r/d_out to each out-neighbor; a dangling node returns its
+(1-alpha)*r to the *source* (Power_Method.java:74-80). Top-k is the
+whole-graph result thresholded at the k-th value with ties
+(Power_Method.java:145-165).
+
+TPU design: the per-iteration HashMap scatter becomes one
+:func:`ppr_tpu.ops.spmv.push_out` application over a ``[B, n_pad]`` residue
+matrix — on small graphs a dense ``[B, n] @ [n, n]`` MXU matmul — iterated a
+static 100 times under ``lax.fori_loop``, batched over all B query sources
+at once (the reference recomputes the oracle per query sequentially,
+Gen_Util.java:154).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..graph.csr import Graph
+from ..ops.spmv import push_out
+from .base import PPRAlgorithm
+
+
+@partial(jax.jit, static_argnames=("alpha", "iterations"))
+def power_method_batch(
+    g: Graph,
+    sources: jax.Array,       # int32[B]
+    alpha: float,
+    iterations: int = 100,
+) -> jax.Array:
+    """Dense f32[B, n_pad] PPR for each source via synchronous propagation."""
+    src_onehot = jax.nn.one_hot(sources, g.n_pad, dtype=jnp.float32)
+    is_dangling = (g.out_deg == 0) & (g.node_mask > 0)
+
+    def body(_, state):
+        p, r = state
+        p = p + alpha * r
+        rem = (1.0 - alpha) * r
+        rem_dang = jnp.where(is_dangling, rem, 0.0)
+        dang_mass = jnp.sum(rem_dang, axis=-1, keepdims=True)
+        r = push_out(g, rem - rem_dang) + dang_mass * src_onehot
+        return p, r
+
+    p0 = jnp.zeros_like(src_onehot)
+    p, _ = jax.lax.fori_loop(0, iterations, body, (p0, src_onehot))
+    return p
+
+
+class PowerMethod(PPRAlgorithm):
+    name = "Exact"
+
+    def __init__(self, dataset, alpha: float, *, iterations: int = 100, seed: int = 0):
+        super().__init__(dataset, alpha, seed=seed)
+        self.iterations = iterations
+
+    def compute_whole_graph_batch(self, sources: np.ndarray, param=None) -> np.ndarray:
+        out = power_method_batch(
+            self.graph,
+            jnp.asarray(sources, jnp.int32),
+            self.alpha,
+            self.iterations,
+        )
+        return np.asarray(out)

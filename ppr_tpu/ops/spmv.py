@@ -1,0 +1,69 @@
+"""Sparse-matrix-vector push operators — the hot kernels of every PPR algorithm.
+
+The reference's per-node scatter loops become two whole-graph linear
+operators over batched node vectors ``a`` of shape ``[..., n_pad]``:
+
+* :func:`push_out` — ``y[u] = sum_{v: v->u} a[v] / d_out(v)``. One forward
+  sweep of this operator is the vectorized equivalent of the queue-driven
+  out-neighbor scatter in Forward_Push.java:119-139 and of one synchronous
+  power-method iteration (Power_Method.java:82-96).
+* :func:`pull_out_norm` — ``y[u] = (1/d_out(u)) * sum_{v: u->v} a[v]``. One
+  backward (reverse-push) sweep, equivalent to the in-neighbor scatter of
+  Backward_Search.java:77-96 where each in-neighbor u receives
+  ``(1-alpha) * r(v) / d_out(u)``.
+
+Two execution backends, picked per graph:
+
+* **dense** (``g.dense_out`` present): a single ``[B, n] @ [n, n]`` matmul on
+  the MXU — optimal for small/medium graphs where the row-normalized operator
+  fits in HBM (the GOT benchmark graph is a 128x128 f32 matrix).
+* **coo**: gather along ``edge_src``/``edge_dst`` + scatter-add, which XLA
+  lowers to vectorized dynamic-slice/scatter; used for large graphs where a
+  dense operator is infeasible. (A Pallas edge-blocked variant lives in
+  ops/pallas_spmv.py for the million-edge regime.)
+
+Both backends are linear, mask padding edges, and drop mass at dangling
+nodes (callers re-inject dangling mass per algorithm semantics — to the
+*source*, per Forward_Push.java:101-115 / Power_Method.java:74-80).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..graph.csr import Graph
+
+
+def _safe_inv_deg(deg: jax.Array) -> jax.Array:
+    d = deg.astype(jnp.float32)
+    return jnp.where(deg > 0, 1.0 / jnp.maximum(d, 1.0), 0.0)
+
+
+def push_out(g: Graph, a: jax.Array, *, backend: str | None = None) -> jax.Array:
+    """``y[u] = sum over edges v->u of a[v] / d_out(v)`` (batched over leading dims)."""
+    if backend is None:
+        backend = "dense" if g.has_dense else "coo"
+    if backend == "dense":
+        return jnp.matmul(a, g.dense_out, preferred_element_type=jnp.float32)
+    # coo: per-edge contribution gathered at source, scattered to destination
+    inv_deg = _safe_inv_deg(g.out_deg)
+    contrib = jnp.take(a * inv_deg, g.edge_src, axis=-1) * g.edge_mask
+    out = jnp.zeros_like(a)
+    return out.at[..., g.edge_dst].add(contrib)
+
+
+def pull_out_norm(g: Graph, a: jax.Array, *, backend: str | None = None) -> jax.Array:
+    """``y[u] = (1/d_out(u)) * sum over edges u->v of a[v]`` (reverse push step)."""
+    if backend is None:
+        backend = "dense" if g.has_dense else "coo"
+    if backend == "dense":
+        return jnp.matmul(
+            a, g.dense_out.T, preferred_element_type=jnp.float32
+        )
+    # coo: gather residue at edge destination, scatter to edge source / d_out(src)
+    contrib = jnp.take(a, g.edge_dst, axis=-1) * g.edge_mask
+    inv_deg = _safe_inv_deg(g.out_deg)
+    out = jnp.zeros_like(a)
+    out = out.at[..., g.edge_src].add(contrib)
+    return out * inv_deg

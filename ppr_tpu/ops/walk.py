@@ -1,0 +1,124 @@
+"""Vectorized alpha-terminated random-walk kernel.
+
+TPU-native re-design of the reference's per-walk inner loops
+(Monte_Carlo.random_walk, Monte_Carlo.java:60-94, and
+random_walk_no_zero_hop, :96-133): instead of one Java while-loop per walk,
+``W`` walkers advance in lockstep as int32 lanes. Per step each active walker
+
+* stops with probability alpha (uniform draw < alpha, matching the stop test
+  at Monte_Carlo.java:76-78 which runs *before* the move — so a walk may stop
+  at its start node, "zero hops");
+* otherwise moves to a uniformly chosen out-neighbor via the CSR gather
+  ``indices[indptr[v] + floor(u * d_v)]`` (the vectorized
+  ``adjM.getTarget(v, rand, OUTGOING)`` of Monte_Carlo.java:84-85);
+* at a dangling node (d_v == 0) it resets to its start node and keeps
+  walking (Monte_Carlo.java:87-90).
+
+A walk whose start node has out-degree 0 returns the start node — in the
+reference this is an explicit early return (Monte_Carlo.java:70-72); here it
+falls out naturally because every move from it resets to itself.
+
+The loop runs under ``lax.while_loop`` until all walkers stopped or
+``max_steps`` is reached. With stop probability alpha per step the survivor
+fraction after L steps is (1-alpha)^L; the default cap keeps the truncation
+bias below ~1e-9 at alpha = 0.15.
+
+The ``no_zero_hop`` variant forces one initial hop before stop tests begin —
+used by FORA whole-graph (Fora_Whole_Graph.java:134 calls
+random_walk_no_zero_hop) whereas FORA top-k and Monte-Carlo use plain walks.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..graph.csr import Graph
+
+
+def default_max_steps(alpha: float, tail: float = 1e-9) -> int:
+    """Smallest L with (1-alpha)^L <= tail (survivor mass below ``tail``)."""
+    return max(8, int(math.ceil(math.log(tail) / math.log1p(-alpha))))
+
+
+def _uniform_neighbor(g: Graph, cur: jax.Array, u: jax.Array, starts: jax.Array):
+    """Next node for each walker: uniform out-neighbor, or start if dangling."""
+    deg = jnp.take(g.out_deg, cur)
+    # floor(u * d) clamped to d-1 guards the u ~= 1.0 edge case
+    pick = jnp.minimum((u * deg.astype(jnp.float32)).astype(jnp.int32), deg - 1)
+    idx = jnp.take(g.indptr, cur) + jnp.maximum(pick, 0)
+    nxt = jnp.take(g.indices, idx)
+    return jnp.where(deg > 0, nxt, starts)
+
+
+@partial(jax.jit, static_argnames=("alpha", "no_zero_hop", "max_steps"))
+def random_walks(
+    g: Graph,
+    starts: jax.Array,       # int32[W] start node per walker
+    key: jax.Array,
+    alpha: float,
+    *,
+    no_zero_hop: bool = False,
+    max_steps: int | None = None,
+) -> jax.Array:
+    """Return int32[W] stop node per walker."""
+    if max_steps is None:
+        max_steps = default_max_steps(alpha)
+    w = starts.shape[0]
+
+    cur = starts
+    if no_zero_hop:
+        key, sub = jax.random.split(key)
+        u = jax.random.uniform(sub, (w,))
+        cur = _uniform_neighbor(g, cur, u, starts)
+
+    def cond(state):
+        _, active, _, step = state
+        return (step < max_steps) & jnp.any(active)
+
+    def body(state):
+        cur_, active, key_, step = state
+        key_, k_stop, k_move = jax.random.split(key_, 3)
+        stop_now = jax.random.uniform(k_stop, (w,)) < alpha
+        u = jax.random.uniform(k_move, (w,))
+        nxt = _uniform_neighbor(g, cur_, u, starts)
+        moved = jnp.where(active & ~stop_now, nxt, cur_)
+        return moved, active & ~stop_now, key_, step + 1
+
+    cur, _, _, _ = jax.lax.while_loop(
+        cond, body, (cur, jnp.ones((w,), bool), key, jnp.int32(0))
+    )
+    return cur
+
+
+@jax.jit
+def accumulate_stops(
+    n_pad_template: jax.Array,   # f32[..., n_pad] array to accumulate into
+    stops: jax.Array,            # int32[W]
+    weights: jax.Array,          # f32[W] per-walk reserve increment
+) -> jax.Array:
+    """reserve[stop_j] += weight_j for every walker j (scatter-add)."""
+    return n_pad_template.at[..., stops].add(weights)
+
+
+@jax.jit
+def expand_walkers(omega_per_node: jax.Array, cap: jax.Array | int):
+    """Assign ``cap`` walker slots to nodes: node i gets ``omega_per_node[i]``.
+
+    The FORA walk phases launch ``omega_i = ceil(...)`` walks from every
+    residual node v_i (Fora_Whole_Graph.java:119-140, Fora_Topk.java:155-168).
+    With data-dependent per-node counts, a fixed pool of ``cap`` walkers is
+    distributed by inverting the cumulative sum: walker j belongs to the node
+    whose cumsum interval contains j. Returns ``(starts, valid)`` where
+    ``starts`` is int32[cap] node ids and ``valid`` masks slots past the total.
+    """
+    csum = jnp.cumsum(omega_per_node.astype(jnp.int32))
+    total = csum[-1]
+    slots = jnp.arange(cap, dtype=jnp.int32)
+    starts = jnp.searchsorted(csum, slots, side="right").astype(jnp.int32)
+    valid = slots < total
+    starts = jnp.minimum(starts, omega_per_node.shape[0] - 1)
+    return starts, valid

@@ -1,0 +1,117 @@
+"""Persistent PPR result store with resumable batch sweeps.
+
+TPU-native replacement of the reference's preprocessing cache (layer L7):
+per-source text files ``<nodeId>\\t<ppr>`` under ``<ALGO>_ppr_results/<db>/...``
+(written at Monte_Carlo.java:209-231, Forward_Push.java:317-339,
+Fora_Whole_Graph.java:177-200, Base_Whole_Graph.java:110-163; read back at
+Monte_Carlo.java:235-254 etc.; sized via FileUtils.sizeOfDirectory at
+Monte_Carlo.java:322-325).
+
+Here results land as one ``.npz`` shard per source batch (dense f32 rows are
+compressed to sparse id/value pairs) plus a ``manifest.json``; an interrupted
+all-pair sweep resumes from the last completed shard — the checkpoint/resume
+capability the reference lacks (SURVEY.md §5)."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+import numpy as np
+
+_MANIFEST = "manifest.json"
+
+
+class PPRStore:
+    def __init__(self, root: str, n: int):
+        self.root = root
+        self.n = n
+        self._row_index: dict[int, str] | None = None
+
+    # --- write path -------------------------------------------------------
+    def reset(self) -> None:
+        """Clear any previous finalized store (reference clears the directory
+        before preprocessing, e.g. Monte_Carlo.java:203-213) but keep
+        unfinalized shards so an interrupted sweep resumes."""
+        manifest = self._read_manifest()
+        if manifest.get("finalized"):
+            shutil.rmtree(self.root, ignore_errors=True)
+        os.makedirs(self.root, exist_ok=True)
+        self._row_index = None
+
+    def has_batch(self, start: int) -> bool:
+        return os.path.exists(self._shard_path(start))
+
+    def write_batch(self, start: int, sources: np.ndarray, rows: np.ndarray) -> None:
+        """Persist dense rows (one per source) as sparse id/value arrays."""
+        ids, vals, ptr = [], [], [0]
+        for row in rows:
+            nz = np.nonzero(row > 0.0)[0]
+            ids.append(nz.astype(np.int32))
+            vals.append(row[nz].astype(np.float32))
+            ptr.append(ptr[-1] + nz.size)
+        tmp = self._shard_path(start) + ".tmp"
+        np.savez_compressed(
+            tmp,
+            sources=np.asarray(sources, np.int32),
+            indptr=np.asarray(ptr, np.int64),
+            ids=np.concatenate(ids) if ids else np.zeros(0, np.int32),
+            vals=np.concatenate(vals) if vals else np.zeros(0, np.float32),
+        )
+        os.replace(tmp + ".npz", self._shard_path(start))
+
+    def finalize(self, **extra) -> None:
+        shards = sorted(
+            f for f in os.listdir(self.root) if f.startswith("batch_")
+        )
+        manifest = {"n": self.n, "finalized": True, "shards": shards, **extra}
+        with open(os.path.join(self.root, _MANIFEST), "w") as f:
+            json.dump(manifest, f)
+        self._row_index = None
+
+    # --- read path --------------------------------------------------------
+    def read_row(self, source: int) -> np.ndarray:
+        """Dense f32[n] row for one source (the query path of preprocessing
+        mode — the reference's readPreprocessedPPR file read)."""
+        index = self._build_index()
+        shard = index.get(int(source))
+        if shard is None:
+            raise KeyError(f"source {source} not in store {self.root}")
+        with np.load(os.path.join(self.root, shard)) as z:
+            sources = z["sources"]
+            pos = int(np.nonzero(sources == source)[0][0])
+            lo, hi = int(z["indptr"][pos]), int(z["indptr"][pos + 1])
+            row = np.zeros(self.n, np.float32)
+            row[z["ids"][lo:hi]] = z["vals"][lo:hi]
+        return row
+
+    def _build_index(self) -> dict[int, str]:
+        if self._row_index is None:
+            self._row_index = {}
+            manifest = self._read_manifest()
+            for shard in manifest.get("shards", []):
+                with np.load(os.path.join(self.root, shard)) as z:
+                    for s in z["sources"]:
+                        self._row_index[int(s)] = shard
+        return self._row_index
+
+    # --- management -------------------------------------------------------
+    def size_bytes(self) -> int:
+        total = 0
+        for dirpath, _, files in os.walk(self.root):
+            total += sum(os.path.getsize(os.path.join(dirpath, f)) for f in files)
+        return total
+
+    def delete(self) -> None:
+        shutil.rmtree(self.root, ignore_errors=True)
+
+    def _shard_path(self, start: int) -> str:
+        return os.path.join(self.root, f"batch_{start:09d}.npz")
+
+    def _read_manifest(self) -> dict:
+        path = os.path.join(self.root, _MANIFEST)
+        if os.path.exists(path):
+            with open(path) as f:
+                return json.load(f)
+        return {}
