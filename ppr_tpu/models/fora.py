@@ -1,0 +1,231 @@
+"""FORA — the hybrid push-then-walk PPR algorithms (whole-graph and top-k).
+
+Reference:
+
+* Whole-graph (Fora_Whole_Graph.java:82-146): adaptive rounds of *fresh*
+  forward pushes with ``rmax`` halved each round while the accumulated push
+  time stays below the predicted walk time ``400ns * rsum * omega``
+  (:75-79, :93-103; the constant at :35); then, from every residual node
+  v_i, ``omega_i = ceil(r_i' * omega)`` no-zero-hop random walks, each
+  adding ``r_i'/omega_i`` to the stop node's reserve (:119-140, after first
+  transferring ``alpha*r_i`` to v_i's reserve).
+  Parameters: ``rmax0 = eps*sqrt(delta/(3 m ln(2/pfail)))/(1-alpha)``,
+  ``omega = (eps+2)*ln(2/pfail)/eps^2/delta`` (:86-87); delta = pfail = 1/n
+  (Algo_Conf.java:47-49).
+
+* Top-k (Fora_Topk.java:102-184): eps' = eps/2 (:110); delta annealed from
+  1/k down to min_delta = 1/n by /4 per round (:178); each round runs the
+  *incremental* forward push at
+  ``rmax = eps'*sqrt(delta/(3 m ln(2/pfail))) * 3*sqrt(m*rmax)`` (:124,
+  :133 — the reference's schedule, kept as-is), then plain (zero-hop
+  allowed) walks from all residual nodes with ``omega_i = ceil(r_i * W)``,
+  ``W = omega * rsum * (1-alpha)``, each walk adding ``r_i/omega_i``
+  (:148-168); terminate once the k-th reserve >= (1+eps')*delta (:173-176).
+  Config: delta0 = 1/k, min_delta = 1/n, pfail = 1/n^2/ln(n/k)
+  (Algo_Conf.java:71-77). Note: walk contributions of a round are *not*
+  folded back into the persistent push state — each round's result is
+  push-reserve + that round's walk estimate (Fora_Topk.java:142-168).
+
+TPU design: pushes run as batched frontier-masked sweeps; walk phases expand
+per-node walk counts into a flat walker pool via cumulative-sum inversion
+(:func:`ppr_tpu.ops.walk.expand_walkers`) whose size is a power-of-two bucket
+of the actual total (one scalar device->host sync per phase), so recompiles
+stay bounded while shapes remain static under jit. The push/walk balance
+keeps the reference's wall-clock cost model with a calibratable per-backend
+walk-cost constant (the reference hard-codes 400 ns, Fora_Whole_Graph.java:35).
+"""
+
+from __future__ import annotations
+
+import math
+import time
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..graph.csr import Graph
+from ..ops.push import (
+    apply_dangling_source_shortcircuit,
+    forward_push_init,
+    forward_push_sweeps,
+)
+from ..ops.walk import expand_walkers, random_walks
+from .base import PPRAlgorithm, PreprocessingMixin
+
+
+def _pow2_bucket(x: int) -> int:
+    return 1 << max(10, int(math.ceil(math.log2(max(x, 1)))))
+
+
+@partial(jax.jit, static_argnames=("alpha", "cap", "no_zero_hop"))
+def _walk_contrib(
+    g: Graph,
+    omega_i: jax.Array,       # int32[B, n_pad] walks per (row, node)
+    weight_i: jax.Array,      # f32[B, n_pad] reserve increment per walk
+    key: jax.Array,
+    alpha: float,
+    cap: int,
+    no_zero_hop: bool,
+) -> jax.Array:
+    """Run sum(omega_i) walks (capped) and scatter weighted stops -> [B, n_pad]."""
+    b, n_pad = omega_i.shape
+    flat = omega_i.reshape(-1)
+    slots, valid = expand_walkers(flat, cap)          # slot -> flat (row, node)
+    rows = slots // n_pad
+    starts = (slots % n_pad).astype(jnp.int32)
+    stops = random_walks(g, starts, key, alpha, no_zero_hop=no_zero_hop)
+    w = weight_i.reshape(-1)[slots] * valid.astype(jnp.float32)
+    out = jnp.zeros((b, n_pad), jnp.float32)
+    return out.at[rows, stops].add(w)
+
+
+@jax.jit
+def _whole_graph_walk_setup(r: jax.Array, omega: jax.Array):
+    """reserve += alpha*r; r' = (1-alpha)*r; omega_i = ceil(r'*omega);
+    per-walk weight r'/omega_i (Fora_Whole_Graph.java:119-140)."""
+    r1 = r  # caller passes r' already scaled
+    om = jnp.where(r1 > 0, jnp.ceil(r1 * omega), 0.0).astype(jnp.int32)
+    w = jnp.where(om > 0, r1 / jnp.maximum(om, 1).astype(jnp.float32), 0.0)
+    return om, w
+
+
+class ForaWholeGraph(PreprocessingMixin, PPRAlgorithm):
+    name = "FORA"
+    prep_dirname = "FORA_ppr_results"
+
+    #: calibratable per-backend walk cost (ns/walk); reference value 400.0
+    #: (Fora_Whole_Graph.java:35) measured on its JVM/CPU.
+    avg_rand_walk_time_ns = 400.0
+
+    def __init__(self, dataset, alpha: float, *, delta: float | None = None,
+                 pfail: float | None = None, seed: int = 0,
+                 max_push_rounds: int = 30):
+        super().__init__(dataset, alpha, seed=seed)
+        n = dataset.graph.n
+        self.delta = delta if delta is not None else 1.0 / n
+        self.pfail = pfail if pfail is not None else 1.0 / n
+        self.max_push_rounds = max_push_rounds
+
+    def compute_whole_graph_batch(self, sources: np.ndarray, param) -> np.ndarray:
+        eps = float(param)
+        g = self.graph
+        m = max(g.m, 1)
+        ln_term = math.log(2.0 / self.pfail)
+        rmax = eps * math.sqrt(self.delta / 3.0 / m / ln_term) / (1.0 - self.alpha)
+        omega = (eps + 2.0) * ln_term / eps / eps / self.delta
+
+        sources_j = jnp.asarray(sources, jnp.int32)
+        b = len(sources)
+
+        # --- part 1: adaptive fresh pushes (Fora_Whole_Graph.java:93-103) ---
+        rsum_local = 1.0
+        push_ns = 0.0
+        p = r = src_onehot = None
+        rounds = 0
+        while (
+            push_ns < self.avg_rand_walk_time_ns * rsum_local * omega
+            and rounds < self.max_push_rounds
+        ):
+            t0 = time.perf_counter_ns()
+            p0, r0, src_onehot = forward_push_init(g, sources_j)
+            p, r, _ = forward_push_sweeps(
+                g, p0, r0, src_onehot, jnp.float32(rmax), self.alpha
+            )
+            jax.block_until_ready(r)
+            push_ns += (time.perf_counter_ns() - t0) / b  # per-query cost
+            rsum_row = np.asarray(r.sum(axis=-1))
+            rsum_local = float(rsum_row.mean()) * (1.0 - self.alpha)
+            rmax /= 2.0
+            rounds += 1
+
+        # --- part 2: residual-weighted no-zero-hop walks (:119-140) ---
+        r1 = (1.0 - self.alpha) * r
+        p = p + self.alpha * r
+        om, w = _whole_graph_walk_setup(r1, jnp.float32(omega))
+        total = int(jnp.sum(om))
+        if total > 0:
+            cap = _pow2_bucket(total)
+            p = p + _walk_contrib(
+                g, om, w, self.next_key(), self.alpha, cap, True
+            )
+
+        p, _ = apply_dangling_source_shortcircuit(
+            g, sources_j, p, jnp.zeros_like(p), src_onehot
+        )
+        return np.asarray(p)
+
+
+class ForaTopk(PPRAlgorithm):
+    name = "FORA-Topk"
+
+    def __init__(self, dataset, alpha: float, k: int, *, seed: int = 0):
+        super().__init__(dataset, alpha, seed=seed)
+        n = dataset.graph.n
+        # Algo_Conf.set_conf_fora_topk (Algo_Conf.java:71-77)
+        self.k = int(k)
+        self.min_delta = 1.0 / n
+        self.delta0 = 1.0 / self.k
+        self.pfail = 1.0 / n / n / math.log(max(n / self.k, math.e))
+
+    def compute_topk_batch(self, sources: np.ndarray, k: int, param) -> np.ndarray:
+        eps = float(param) * 0.5      # eps' = eps/2 (Fora_Topk.java:110)
+        k = int(k) if k and k > 0 else self.k
+        g = self.graph
+        m = max(g.m, 1)
+        ln_term = math.log(2.0 / self.pfail)
+        sources_j = jnp.asarray(sources, jnp.int32)
+
+        p, r, src_onehot = forward_push_init(g, sources_j)
+        p = jnp.zeros_like(p)
+        delta = self.delta0
+        result = p
+
+        while True:
+            rmax = eps * math.sqrt(delta / 3.0 / m / ln_term)
+            rmax *= math.sqrt(m * rmax) * 3.0     # reference schedule, Fora_Topk.java:133
+            omega = (eps + 2.0) * ln_term / eps / eps / delta
+
+            # incremental push continues from persistent (p, r) state
+            p, r, _ = forward_push_sweeps(
+                g, p, r, src_onehot, jnp.float32(rmax), self.alpha
+            )
+
+            rsum_rw = float(np.asarray(r.sum(axis=-1)).mean()) * (1.0 - self.alpha)
+            num_walk = omega * rsum_rw
+            om = jnp.where(r > 0, jnp.ceil(r * num_walk), 0.0).astype(jnp.int32)
+            w = jnp.where(om > 0, r / jnp.maximum(om, 1).astype(jnp.float32), 0.0)
+            total = int(jnp.sum(om))
+            round_p = p
+            if total > 0:
+                cap = _pow2_bucket(total)
+                round_p = p + _walk_contrib(
+                    g, om, w, self.next_key(), self.alpha, cap, False
+                )
+            result = round_p
+
+            # termination (Fora_Topk.java:173-178): kth reserve >= (1+eps')*delta
+            kth = _batched_kth_over_support(np.asarray(round_p), k)
+            if np.all(kth >= (1.0 + eps) * delta) or delta <= self.min_delta:
+                break
+            delta = max(self.min_delta, delta / 4.0)
+
+        result, _ = apply_dangling_source_shortcircuit(
+            g, sources_j, result, jnp.zeros_like(result), src_onehot
+        )
+        return np.asarray(result)
+
+    def compute_whole_graph_batch(self, sources, param):  # top-k only algo
+        return self.compute_topk_batch(sources, self.k, param)
+
+
+def _batched_kth_over_support(p: np.ndarray, k: int) -> np.ndarray:
+    """Per-row k-th largest positive value; 0.0 when the support is smaller
+    than k (the reference's kth_ppr-null-means-0.0, Fora_Topk.java:171-172)."""
+    out = np.zeros(p.shape[0], p.dtype)
+    for i, row in enumerate(p):
+        sup = row[row > 0]
+        if sup.size >= k:
+            out[i] = np.partition(sup, -k)[-k]
+    return out

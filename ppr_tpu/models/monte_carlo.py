@@ -1,0 +1,81 @@
+"""Monte-Carlo PPR (alpha-terminated random walks).
+
+Reference: Monte_Carlo.java — ``computeWholeGraphPPR`` (:136-158) launches
+``omega = 3*ln(2/pfail)/eps^2/delta`` walks from the source (:145) and
+estimates ``pi(s,v)`` as the fraction of walks stopping at v (:156-157).
+Top-k re-uses the whole-graph estimate thresholded with ties
+(:303-319 via computeTopKPPR :283-287). Parameter: ``epsilon``.
+
+TPU design: all ``B * omega`` walks run in lockstep through the vectorized
+walk kernel (:mod:`ppr_tpu.ops.walk`); stop counts are one scatter-add into a
+``[B, n_pad]`` matrix. omega is derived from static Python floats, so the
+walker array shape is static under jit.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..graph.csr import Graph
+from ..ops.walk import random_walks
+from .base import PPRAlgorithm, PreprocessingMixin
+
+
+def mc_num_walks(eps: float, delta: float, pfail: float) -> int:
+    """omega = 3*ln(2/pfail)/eps^2/delta (Monte_Carlo.java:145)."""
+    return int(math.ceil(3.0 * math.log(2.0 / pfail) / eps / eps / delta))
+
+
+@partial(jax.jit, static_argnames=("alpha", "omega"))
+def mc_whole_graph_batch(
+    g: Graph,
+    sources: jax.Array,     # int32[B]
+    key: jax.Array,
+    alpha: float,
+    omega: int,
+) -> jax.Array:
+    b = sources.shape[0]
+    starts = jnp.repeat(sources, omega)              # [B*omega]
+    stops = random_walks(g, starts, key, alpha)
+    rows = jnp.repeat(jnp.arange(b, dtype=jnp.int32), omega)
+    counts = jnp.zeros((b, g.n_pad), jnp.float32)
+    counts = counts.at[rows, stops].add(1.0)
+    return counts / jnp.float32(omega)
+
+
+class MonteCarlo(PreprocessingMixin, PPRAlgorithm):
+    name = "Monte-Carlo"
+    prep_dirname = "MC_ppr_results"
+
+    def __init__(self, dataset, alpha: float, *, delta: float | None = None,
+                 pfail: float | None = None, seed: int = 0,
+                 max_walk_batch: int = 4_000_000):
+        super().__init__(dataset, alpha, seed=seed)
+        n = dataset.graph.n
+        # Algo_Conf.set_conf_mc (Algo_Conf.java:29-34): delta = pfail = 1/n
+        self.delta = delta if delta is not None else 1.0 / n
+        self.pfail = pfail if pfail is not None else 1.0 / n
+        self.max_walk_batch = max_walk_batch
+
+    def compute_whole_graph_batch(self, sources: np.ndarray, param) -> np.ndarray:
+        eps = float(param)
+        omega = mc_num_walks(eps, self.delta, self.pfail)
+        sources = np.asarray(sources)
+        # chunk the source batch so walker count stays within memory budget
+        per_chunk = max(1, self.max_walk_batch // omega)
+        outs = []
+        for lo in range(0, len(sources), per_chunk):
+            chunk = jnp.asarray(sources[lo:lo + per_chunk], jnp.int32)
+            outs.append(
+                np.asarray(
+                    mc_whole_graph_batch(
+                        self.graph, chunk, self.next_key(), self.alpha, omega
+                    )
+                )
+            )
+        return np.concatenate(outs, axis=0)

@@ -104,8 +104,8 @@ def accumulate_stops(
     return n_pad_template.at[..., stops].add(weights)
 
 
-@jax.jit
-def expand_walkers(omega_per_node: jax.Array, cap: jax.Array | int):
+@partial(jax.jit, static_argnames=("cap",))
+def expand_walkers(omega_per_node: jax.Array, cap: int):
     """Assign ``cap`` walker slots to nodes: node i gets ``omega_per_node[i]``.
 
     The FORA walk phases launch ``omega_i = ceil(...)`` walks from every

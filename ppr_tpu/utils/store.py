@@ -61,6 +61,41 @@ class PPRStore:
         )
         os.replace(tmp + ".npz", self._shard_path(start))
 
+    def write_batch_ordered(
+        self, start: int, sources: np.ndarray,
+        ids_list: list[np.ndarray], vals_list: list[np.ndarray],
+    ) -> None:
+        """Persist rows as explicit (ids, vals) sequences, preserving order.
+
+        Used by BASE top-k preprocessing, where the reference writes each
+        source's entries pre-sorted descending and the query path returns
+        file order (Base_Whole_Graph.java:133-162, :207-210)."""
+        ptr = [0]
+        for ids in ids_list:
+            ptr.append(ptr[-1] + len(ids))
+        tmp = self._shard_path(start) + ".tmp"
+        np.savez_compressed(
+            tmp,
+            sources=np.asarray(sources, np.int32),
+            indptr=np.asarray(ptr, np.int64),
+            ids=np.concatenate(ids_list).astype(np.int32)
+            if ids_list else np.zeros(0, np.int32),
+            vals=np.concatenate(vals_list).astype(np.float32)
+            if vals_list else np.zeros(0, np.float32),
+        )
+        os.replace(tmp + ".npz", self._shard_path(start))
+
+    def read_row_ordered(self, source: int):
+        """(ids, vals) for one source in stored order."""
+        index = self._build_index()
+        shard = index.get(int(source))
+        if shard is None:
+            raise KeyError(f"source {source} not in store {self.root}")
+        with np.load(os.path.join(self.root, shard)) as z:
+            pos = int(np.nonzero(z["sources"] == source)[0][0])
+            lo, hi = int(z["indptr"][pos]), int(z["indptr"][pos + 1])
+            return z["ids"][lo:hi].copy(), z["vals"][lo:hi].copy()
+
     def finalize(self, **extra) -> None:
         shards = sorted(
             f for f in os.listdir(self.root) if f.startswith("batch_")

@@ -1,0 +1,128 @@
+"""End-to-end accuracy tests: every algorithm vs the power-method oracle on
+GOT at the reference operating point (alpha=0.15, eps=0.5, k=10 —
+PPR.java:177-184), using the reference's own metrics (Gen_Util.java:259-326).
+"""
+
+import numpy as np
+import pytest
+
+from ppr_tpu.models import AlgoConf
+from ppr_tpu.ops.topk import topk_ids_with_ties
+from ppr_tpu.utils.metrics import max_abs_err, ndcg_at_k, precision_at_k
+
+ALPHA = 0.15
+K = 10
+
+
+@pytest.fixture(scope="module")
+def oracle(got):
+    pm = AlgoConf(ALPHA).set_conf_power_method(got)
+    sources = np.arange(0, got.n, 5)
+    return sources, pm.compute_whole_graph_batch(sources)
+
+
+def _mean_topk_metrics(scores, sources, oracle_rows, k=K):
+    precs, ndcgs = [], []
+    for row, s in enumerate(sources):
+        gnd_ids = topk_ids_with_ties(oracle_rows[row], k)
+        algo_ids = topk_ids_with_ties(scores[row], k)
+        precs.append(precision_at_k(algo_ids, gnd_ids))
+        ndcgs.append(ndcg_at_k(algo_ids, gnd_ids, oracle_rows[row]))
+    return float(np.mean(precs)), float(np.mean(ndcgs))
+
+
+def test_monte_carlo_accuracy(got, oracle):
+    sources, oracle_rows = oracle
+    mc = AlgoConf(ALPHA, seed=1).set_conf_mc(got)
+    scores = mc.compute_whole_graph_batch(sources, 0.5)
+    err = np.mean([
+        max_abs_err(scores[i], oracle_rows[i]) for i in range(len(sources))
+    ])
+    assert err < 0.05
+    prec, ndcg = _mean_topk_metrics(scores, sources, oracle_rows)
+    assert prec > 0.85
+    assert ndcg > 0.95
+
+
+def test_forward_push_accuracy(got, oracle):
+    sources, oracle_rows = oracle
+    fp = AlgoConf(ALPHA).set_conf_fwdpush(got)
+    scores = fp.compute_whole_graph_batch(sources, 1e-6)
+    err = max(
+        max_abs_err(scores[i], oracle_rows[i]) for i in range(len(sources))
+    )
+    assert err < 1e-3
+    prec, _ = _mean_topk_metrics(scores, sources, oracle_rows)
+    assert prec > 0.95
+
+
+def test_fora_whole_graph_accuracy(got, oracle):
+    sources, oracle_rows = oracle
+    fora = AlgoConf(ALPHA, seed=2).set_conf_fora_whole_graph(got)
+    scores = fora.compute_whole_graph_batch(sources, 0.5)
+    err = np.mean([
+        max_abs_err(scores[i], oracle_rows[i]) for i in range(len(sources))
+    ])
+    assert err < 0.03
+    prec, ndcg = _mean_topk_metrics(scores, sources, oracle_rows)
+    assert prec > 0.9
+    assert ndcg > 0.97
+
+
+def test_fora_topk_recall(got, oracle):
+    sources, oracle_rows = oracle
+    fora = AlgoConf(ALPHA, seed=3).set_conf_fora_topk(got, K)
+    scores = fora.compute_topk_batch(sources, K, 0.5)
+    prec, ndcg = _mean_topk_metrics(scores, sources, oracle_rows)
+    # BASELINE.json north star: recall@10 parity with FORA on GOT
+    assert prec > 0.9
+    assert ndcg > 0.97
+
+
+def test_neo4j_method_convergence(got, oracle):
+    sources, oracle_rows = oracle
+    nm = AlgoConf(ALPHA).set_conf_neo4j_method(got)
+    few = nm.compute_whole_graph_batch(sources, 5)
+    many = nm.compute_whole_graph_batch(sources, 200)
+    # more iterations must improve top-k agreement with the oracle
+    prec_few, _ = _mean_topk_metrics(few, sources, oracle_rows)
+    prec_many, _ = _mean_topk_metrics(many, sources, oracle_rows)
+    assert prec_many >= prec_few - 0.05
+    assert prec_many > 0.6
+    np.testing.assert_allclose(many.sum(axis=-1), 1.0, atol=1e-4)
+
+
+def test_base_allpair_roundtrip(got, oracle, tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    sources, oracle_rows = oracle
+    base = AlgoConf(ALPHA).set_conf_base_whole_graph(got)
+    base.preprocessing(1e-4, -1, progress=False)
+    assert base.get_prep_size() > 0
+
+    scores = base.compute_whole_graph_batch(sources)
+    # BASE stores only entries >= threshold of the mass-dies backward model;
+    # still the big entries must agree with the oracle coarsely
+    prec, _ = _mean_topk_metrics(scores, sources, oracle_rows)
+    assert prec > 0.5
+
+    # top-k preprocessing mode: stored order is descending
+    base2 = AlgoConf(ALPHA).set_conf_base_whole_graph(got)
+    base2.preprocessing(1e-4, K, progress=False)
+    base2.compute_topk_ppr(int(sources[0]), K)
+    ids = base2.get_topk_node_ids(K)
+    vals = base2.get_whole_graph_dense()[ids]
+    assert np.all(np.diff(vals) <= 1e-12)
+    base2.delete_prep_dir()
+    base.delete_prep_dir()
+
+
+def test_preprocessing_roundtrip_forward_push(got, tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    fp = AlgoConf(ALPHA).set_conf_fwdpush(got)
+    fp.preprocessing(-1.0, 1e-5, progress=False)
+    direct = fp.compute_whole_graph_batch(np.asarray([17]), 1e-5)[0]
+    fp.read_preprocessed_ppr(17)
+    stored = fp.get_whole_graph_dense()
+    np.testing.assert_allclose(stored, direct, atol=1e-6)
+    assert fp.get_prep_size() > 0
+    fp.delete_prep_dir()
