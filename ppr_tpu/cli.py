@@ -1,0 +1,104 @@
+"""CLI entry point — flag parity with the reference's commons-cli main.
+
+Reference: PPR.java:154-200 — flags ``-alpha -eps -query -k -node -label
+-rel -db -help`` with defaults alpha=0.15, eps=0.5, query=50, k=10,
+node=name, label=Person, rel=Relation, db=target/got.db (PPR.java:168-184).
+Here ``--db`` names a dataset directory holding the Neo4j-import CSV pair
+(or a SNAP edge list / ``synth:<n>x<deg>`` spec) instead of an embedded
+database, and the program runs the same batch benchmark
+(``algo_perf_batch_test(query, k)``, PPR.java:192).
+
+Usage::
+
+    python -m ppr_tpu.cli --db /root/reference/dataset/got --query 50 --k 10
+    python -m ppr_tpu.cli --db synth:10000x8 --query 20
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="ppr_tpu",
+        description="TPU-native Personalized PageRank benchmark harness",
+    )
+    p.add_argument("--alpha", type=float, default=0.15,
+                   help="stop probability per walk step (default 0.15)")
+    p.add_argument("--eps", type=float, default=0.5,
+                   help="error-bound epsilon (default 0.5)")
+    p.add_argument("--query", type=int, default=50,
+                   help="number of benchmark queries (default 50)")
+    p.add_argument("--k", type=int, default=10,
+                   help="k for top-k queries (default 10)")
+    p.add_argument("--node", default="name",
+                   help="node display-name property (parity flag)")
+    p.add_argument("--label", default="Person",
+                   help="node label (parity flag)")
+    p.add_argument("--rel", default="Relation",
+                   help="relationship type (parity flag)")
+    p.add_argument("--db", default="/root/reference/dataset/got",
+                   help="dataset: dir with *_Nodes.csv/*_Rels.csv, an edge "
+                        "list file, or synth:<n>x<deg>[@seed]")
+    p.add_argument("--seed", type=int, default=0, help="query/RNG seed")
+    p.add_argument("--sequential", action="store_true",
+                   help="time queries one at a time (reference protocol) "
+                        "instead of the batched TPU-native path")
+    p.add_argument("--sweep", default=None,
+                   help="sweep spec name (got/blogcatalog/flickr/grqc/amazon)")
+    p.add_argument("--out-dir", default=".",
+                   help="where <dataset>_AlgoPerfResults.txt is written")
+    return p
+
+
+def load_dataset(db: str):
+    from .graph import io
+
+    if db.startswith("synth:"):
+        spec = db[len("synth:"):]
+        seed = 0
+        if "@" in spec:
+            spec, seed_s = spec.split("@")
+            seed = int(seed_s)
+        n, deg = (int(x) for x in spec.split("x"))
+        return io.synthetic_powerlaw(n, deg, seed=seed)
+    if os.path.isdir(db):
+        for f in os.listdir(db):
+            if f.endswith("_Nodes.csv"):
+                prefix = f[: -len("_Nodes.csv")]
+                return io.load_neo4j_csv(
+                    os.path.join(db, f),
+                    os.path.join(db, f"{prefix}_Rels.csv"),
+                    name=prefix.lower(),
+                )
+        raise SystemExit(f"no *_Nodes.csv found in {db}")
+    if os.path.isfile(db):
+        return io.load_edge_list(db)
+    raise SystemExit(f"dataset not found: {db}")
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    from .harness import PerfHarness
+
+    dataset = load_dataset(args.db)
+    print(f"Loaded dataset '{dataset.name}': {dataset.graph.n} nodes, "
+          f"{dataset.graph.m} edges")
+    harness = PerfHarness(
+        dataset, alpha=args.alpha, seed=args.seed,
+        out_dir=args.out_dir, batched=not args.sequential,
+    )
+    try:
+        harness.algo_perf_batch_test(args.query, args.k)
+    except Exception as e:  # PPR.java:196-199 prints and exits
+        print(f"Algo performance batch test failed! ({e})")
+        raise
+    print(f"Results appended to {harness.writer.path}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,335 @@
+"""Benchmark harness — parity with Gen_Util's performance tests.
+
+Reference: Gen_Util.java —
+
+* ``getQueryNodes`` (:99-107): uniform random source ids with replacement
+  (here seeded for reproducibility, which the reference lacks).
+* ``algo_perf_test`` (:109-257): per-algorithm timing loop; top-k tests
+  record avg time / precision / NDCG, whole-graph tests record avg time /
+  max-abs-err; preprocessing tests time ``preprocessing()`` + per-query
+  file reads; rows appended to ``<dataset>_AlgoPerfResults.txt``
+  (:139-142, :179, :188-203, :244-247).
+* ``algo_perf_batch_test`` (:328-646): the three sweeps (whole-graph,
+  top-k, preprocessing) over five algorithms x parameter arrays; the GOT
+  arrays live at :451-478 and the four other datasets' sweeps (kept as
+  comments in the reference, :334-449) are first-class specs here.
+
+Two timing modes: ``batched=True`` measures the TPU-native path (all Q
+queries in one device batch — per-query time = batch time / Q);
+``batched=False`` replicates the reference protocol of timing each query
+alone (Gen_Util.java:146-151).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+
+import numpy as np
+
+from .graph.io import Dataset
+from .models import AlgoConf, AlgoType, PowerMethod
+from .ops.topk import topk_ids_with_ties
+from .utils.metrics import max_abs_err, ndcg_at_k, precision_at_k
+from .utils.report import PerfResultWriter, progress_printer
+
+
+class TestType:
+    WHOLE_GRAPH = "WHOLE_GRAPH"
+    TOPK = "TOPK"
+
+
+# --- sweep specs: Gen_Util.java's per-dataset parameter arrays -------------
+# GOT (active in the reference, Gen_Util.java:451-478); the other four
+# datasets' arrays are the commented-out testsets at :334-449.
+SWEEPS: dict[str, dict] = {
+    "got": {
+        "topk": {
+            AlgoType.BASE_WHOLE_GRAPH: [0.001, 5.0e-4, 5.0e-5, 1.0e-6, 5.0e-7],
+            AlgoType.FORA_TOPK: [10.0, 5.0, 0.5, 0.1, 0.05],
+            AlgoType.MC: [1.0, 0.5, 0.3, 0.1, 0.05],
+            AlgoType.FWDPUSH: [1.0e-4, 1.0e-5, 1.0e-6, 1.0e-7, 1.0e-8],
+            AlgoType.NEO4J_METHOD: [5, 40, 100, 200, 300],
+        },
+        "whole_graph": {
+            AlgoType.FORA_WHOLE_GRAPH: [10.0, 5.0, 0.5, 0.1, 0.05],
+            AlgoType.FWDPUSH: [1.0e-4, 1.0e-5, 1.0e-6, 1.0e-7, 1.0e-8],
+            AlgoType.NEO4J_METHOD: [5, 40, 100, 200, 300],
+            AlgoType.MC: [1.0, 0.5, 0.3, 0.1, 0.05],
+            AlgoType.BASE_WHOLE_GRAPH: [0.001, 5.0e-4, 5.0e-5, 1.0e-6, 5.0e-7],
+        },
+        "prep": {
+            AlgoType.FORA_WHOLE_GRAPH: [10.0, 5.0, 0.5, 0.1, 0.05],
+            AlgoType.FWDPUSH: [1.0e-4, 1.0e-5, 1.0e-6, 1.0e-7, 1.0e-8],
+            AlgoType.NEO4J_METHOD: [5, 40, 100, 200, 300],
+            AlgoType.MC: [1.0, 0.5, 0.3, 0.1, 0.05],
+            AlgoType.BASE_WHOLE_GRAPH: [0.001, 5.0e-4, 5.0e-5, 1.0e-6, 5.0e-7],
+        },
+    },
+    "blogcatalog": {  # Gen_Util.java:334-362
+        "whole_graph": {
+            AlgoType.BASE_WHOLE_GRAPH: [0.001, 7.0e-4, 5.0e-4, 1.0e-4, 5.0e-5],
+            AlgoType.FORA_WHOLE_GRAPH: [50.0, 10.0, 5.0, 1.0, 0.5],
+            AlgoType.MC: [5.0, 1.0, 0.7, 0.5, 0.3],
+            AlgoType.FWDPUSH: [1.0e-6, 7.0e-7, 5.0e-7, 3.0e-7, 1.0e-7],
+            AlgoType.NEO4J_METHOD: [1, 5, 10, 40, 100],
+        },
+        "topk": {
+            AlgoType.BASE_WHOLE_GRAPH: [0.001, 7.0e-4, 5.0e-4, 1.0e-4, 5.0e-5],
+            AlgoType.FORA_TOPK: [1.0, 0.5, 0.1, 0.05, 0.01],
+            AlgoType.MC: [5.0, 1.0, 0.5, 0.1, 0.05],
+            AlgoType.FWDPUSH: [1.0e-6, 5.0e-7, 1.0e-7, 5.0e-8, 1.0e-8],
+            AlgoType.NEO4J_METHOD: [1, 5, 10, 40, 100],
+        },
+    },
+    "flickr": {  # Gen_Util.java:364-389
+        "topk": {
+            AlgoType.BASE_WHOLE_GRAPH: [5.0e-4, 3.0e-4, 1.0e-4, 7.0e-5, 5.0e-5],
+            AlgoType.FORA_TOPK: [50.0, 10.0, 1.0, 0.1, 0.05],
+            AlgoType.MC: [5.0, 1.0, 0.3, 0.1, 0.05],
+            AlgoType.FWDPUSH: [5.0e-7, 1.0e-7, 5.0e-8, 1.0e-8, 5.0e-9],
+            AlgoType.NEO4J_METHOD: [5, 10, 40, 100, 200],
+        },
+        "whole_graph": {
+            AlgoType.FORA_WHOLE_GRAPH: [500.0, 50.0, 10.0, 5.0, 3.0, 1.0, 0.5],
+            AlgoType.FWDPUSH: [5.0e-5, 1.0e-6, 5.0e-8, 1.0e-8, 5.0e-9],
+            AlgoType.NEO4J_METHOD: [1, 5, 10, 40, 100],
+            AlgoType.MC: [10.0, 5.0, 1.0, 0.5, 0.3],
+            AlgoType.BASE_WHOLE_GRAPH: [0.005, 0.001, 5.0e-4, 1.0e-4, 7.0e-5],
+        },
+    },
+    "grqc": {  # Gen_Util.java:391-419
+        "topk": {
+            AlgoType.BASE_WHOLE_GRAPH: [0.001, 5.0e-4, 5.0e-5, 1.0e-7, 5.0e-8],
+            AlgoType.FORA_TOPK: [10.0, 0.5, 0.1, 0.01, 0.001],
+            AlgoType.MC: [3.0, 1.0, 0.2, 0.1, 0.05],
+            AlgoType.FWDPUSH: [1.0e-4, 1.0e-6, 5.0e-8, 7.0e-9, 7.0e-10],
+            AlgoType.NEO4J_METHOD: [5, 40, 300, 500, 1000],
+        },
+        "whole_graph": {
+            AlgoType.FORA_WHOLE_GRAPH: [10.0, 5.0, 0.5, 0.1, 0.05],
+            AlgoType.FWDPUSH: [1.0e-4, 1.0e-5, 1.0e-6, 1.0e-7, 1.0e-8],
+            AlgoType.NEO4J_METHOD: [5, 40, 100, 200, 300],
+            AlgoType.MC: [1.0, 0.5, 0.3, 0.1, 0.05],
+            AlgoType.BASE_WHOLE_GRAPH: [0.001, 5.0e-4, 5.0e-5, 1.0e-6, 5.0e-7],
+        },
+    },
+    "amazon": {  # Gen_Util.java:421-449
+        "topk": {
+            AlgoType.BASE_WHOLE_GRAPH: [1.0e-3, 5.0e-4, 1.0e-4, 5.0e-5],
+            AlgoType.FORA_TOPK: [50.0, 10.0, 5.0, 1.0, 0.5],
+            AlgoType.MC: [10.0, 5.0, 1.0, 0.5, 0.3],
+            AlgoType.FWDPUSH: [5.0e-5, 1.0e-5, 5.0e-6, 1.0e-6, 5.0e-7],
+            AlgoType.NEO4J_METHOD: [5, 10, 100, 200, 300],
+        },
+        "whole_graph": {
+            AlgoType.BASE_WHOLE_GRAPH: [1.0e-4, 5.0e-5, 4.0e-5, 3.0e-5, 2.0e-5],
+            AlgoType.FORA_WHOLE_GRAPH: [50.0, 10.0, 5.0, 3.0, 1.0],
+            AlgoType.MC: [1.0, 0.7, 0.5, 0.3, 0.1],
+            AlgoType.FWDPUSH: [1.0e-6, 5.0e-7, 3.0e-7, 5.0e-8, 1.0e-8],
+            AlgoType.NEO4J_METHOD: [1, 5, 10, 40, 100],
+        },
+    },
+}
+
+
+@dataclasses.dataclass
+class PerfResult:
+    algo: str
+    test_type: str
+    param: object
+    avg_ms: float
+    avg_precision: float | None = None
+    avg_ndcg: float | None = None
+    avg_max_err: float | None = None
+    prep_ms: float | None = None
+    prep_bytes: int | None = None
+
+
+class PerfHarness:
+    def __init__(self, dataset: Dataset, alpha: float = 0.15, *, seed: int = 0,
+                 out_dir: str = ".", batched: bool = True,
+                 progress: bool = True):
+        self.dataset = dataset
+        self.alpha = alpha
+        self.seed = seed
+        self.batched = batched
+        self.progress = progress
+        self.writer = PerfResultWriter(dataset.name, out_dir)
+        self._rng = np.random.default_rng(seed)
+        self._oracle_cache: dict[tuple, np.ndarray] = {}
+
+    def get_query_nodes(self, query_num: int) -> np.ndarray:
+        """Uniform random with replacement (Gen_Util.java:99-107), seeded."""
+        return self._rng.integers(0, self.dataset.n, size=query_num)
+
+    # --- oracle ----------------------------------------------------------
+    def _oracle_rows(self, sources: np.ndarray) -> np.ndarray:
+        key = tuple(int(s) for s in sources)
+        if key not in self._oracle_cache:
+            pm = PowerMethod(self.dataset, self.alpha)
+            self._oracle_cache[key] = pm.compute_whole_graph_batch(sources)
+        return self._oracle_cache[key]
+
+    # --- core perf test (Gen_Util.algo_perf_test parity) ------------------
+    def algo_perf_test(
+        self,
+        algo_type: AlgoType,
+        query_num: int,
+        k: int,
+        param,
+        threshold: float = -1.0,
+        to_be_preprocessed: bool = False,
+        test_type: str = TestType.WHOLE_GRAPH,
+    ) -> PerfResult:
+        conf = AlgoConf(self.alpha, seed=self.seed)
+        algo = conf.new_algo_obj(algo_type, self.dataset, k)
+        sources = self.get_query_nodes(query_num)
+        oracle_rows = self._oracle_rows(sources)
+        report = progress_printer(query_num, enabled=self.progress)
+
+        prep_ms = prep_bytes = None
+        needs_prep = to_be_preprocessed or algo_type == AlgoType.BASE_WHOLE_GRAPH
+        if needs_prep:
+            t0 = time.perf_counter()
+            if algo_type == AlgoType.BASE_WHOLE_GRAPH:
+                algo.preprocessing(
+                    threshold, k if test_type == TestType.TOPK else -1,
+                    progress=self.progress,
+                )
+            else:
+                algo.preprocessing(threshold, param, progress=self.progress)
+            prep_ms = (time.perf_counter() - t0) * 1e3
+            prep_bytes = algo.get_prep_size()
+
+        def run_queries() -> tuple[np.ndarray, float]:
+            """Returns (scores[B, n_pad], avg per-query ms)."""
+            if to_be_preprocessed and algo_type != AlgoType.BASE_WHOLE_GRAPH:
+                # preprocessed query path = store reads (Gen_Util.java:222-227)
+                t0 = time.perf_counter()
+                rows = []
+                for i, s in enumerate(sources):
+                    algo.read_preprocessed_ppr(int(s))
+                    rows.append(algo.get_whole_graph_dense())
+                    report(i)
+                return np.stack(rows), (time.perf_counter() - t0) * 1e3 / query_num
+            if self.batched:
+                t0 = time.perf_counter()
+                if test_type == TestType.TOPK:
+                    scores = algo.compute_topk_batch(sources, k, param)
+                else:
+                    scores = algo.compute_whole_graph_batch(sources, param)
+                return np.asarray(scores), (
+                    (time.perf_counter() - t0) * 1e3 / query_num
+                )
+            # reference protocol: one query at a time (Gen_Util.java:146-151)
+            rows, total = [], 0.0
+            for i, s in enumerate(sources):
+                t0 = time.perf_counter()
+                if test_type == TestType.TOPK:
+                    algo.compute_topk_ppr(int(s), k, param)
+                else:
+                    algo.compute_whole_graph_ppr(int(s), param)
+                total += time.perf_counter() - t0
+                rows.append(algo.get_whole_graph_dense())
+                report(i)
+            return np.stack(rows), total * 1e3 / query_num
+
+        scores, avg_ms = run_queries()
+
+        result = PerfResult(
+            algo=algo_type.value, test_type=test_type, param=param,
+            avg_ms=avg_ms, prep_ms=prep_ms, prep_bytes=prep_bytes,
+        )
+        if test_type == TestType.TOPK:
+            precs, ndcgs = [], []
+            for row in range(query_num):
+                gnd_ids = topk_ids_with_ties(oracle_rows[row], k)
+                algo_ids = topk_ids_with_ties(scores[row], k)
+                precs.append(precision_at_k(algo_ids, gnd_ids))
+                ndcgs.append(ndcg_at_k(algo_ids, gnd_ids, oracle_rows[row]))
+            result.avg_precision = float(np.mean(precs))
+            result.avg_ndcg = float(np.mean(ndcgs))
+        else:
+            result.avg_max_err = float(np.mean([
+                max_abs_err(scores[i], oracle_rows[i])
+                for i in range(query_num)
+            ]))
+
+        self._write_row(result, k, threshold, to_be_preprocessed)
+        if (
+            to_be_preprocessed
+            and algo_type != AlgoType.BASE_WHOLE_GRAPH
+            and hasattr(algo, "delete_prep_dir")
+        ):
+            algo.delete_prep_dir()  # Gen_Util.java:249-251
+        return result
+
+    def _write_row(self, res: PerfResult, k, threshold, to_be_preprocessed):
+        """Row formats mirror Gen_Util.java:139-142/:179/:188-203/:244-247."""
+        fields: list = [res.param]
+        if res.test_type == TestType.TOPK:
+            if res.prep_ms is not None:
+                fields = [threshold, k, f"{res.prep_ms:.3f}", res.prep_bytes]
+            else:
+                fields = [res.param, k]
+            fields += [f"{res.avg_ms:.3f}", res.avg_precision, res.avg_ndcg]
+        else:
+            if res.prep_ms is not None:
+                fields += [threshold, f"{res.prep_ms:.3f}", res.prep_bytes]
+            if not to_be_preprocessed:
+                fields += [f"{res.avg_ms:.3f}"]
+            fields += [res.avg_max_err]
+        self.writer.row(*fields)
+
+    # --- batch driver (algo_perf_batch_test parity, Gen_Util.java:328-646) --
+    def algo_perf_batch_test(self, query_num: int = 50, k: int = 10,
+                             sweep: str | None = None) -> list[PerfResult]:
+        spec = SWEEPS.get(sweep or self.dataset.name) or SWEEPS["got"]
+        self.writer.header()
+        results = []
+
+        self.writer.section("Test 1. Whole-Graph test")
+        for i, (algo, params) in enumerate(spec["whole_graph"].items(), 1):
+            self.writer.section(f"1.{i} {algo.value}")
+            for param in params:
+                if algo == AlgoType.BASE_WHOLE_GRAPH:
+                    results.append(self.algo_perf_test(
+                        algo, query_num, -1, -1, param, False,
+                        TestType.WHOLE_GRAPH,
+                    ))
+                else:
+                    results.append(self.algo_perf_test(
+                        algo, query_num, -1, param, -1.0, False,
+                        TestType.WHOLE_GRAPH,
+                    ))
+
+        self.writer.section("Test 2. Top-k test")
+        for i, (algo, params) in enumerate(spec["topk"].items(), 1):
+            self.writer.section(f"2.{i} {algo.value}")
+            for param in params:
+                if algo == AlgoType.BASE_WHOLE_GRAPH:
+                    results.append(self.algo_perf_test(
+                        algo, query_num, k, -1, param, False, TestType.TOPK,
+                    ))
+                else:
+                    results.append(self.algo_perf_test(
+                        algo, query_num, k, param, -1.0, False, TestType.TOPK,
+                    ))
+
+        prep_spec = spec.get("prep", spec["whole_graph"])
+        self.writer.section("Test 3. Preprocessing test")
+        for i, (algo, params) in enumerate(prep_spec.items(), 1):
+            self.writer.section(f"3.{i} {algo.value}")
+            for param in params:
+                if algo == AlgoType.BASE_WHOLE_GRAPH:
+                    results.append(self.algo_perf_test(
+                        algo, query_num, -1, -1, param, True,
+                        TestType.WHOLE_GRAPH,
+                    ))
+                else:
+                    results.append(self.algo_perf_test(
+                        algo, query_num, -1, param, -1.0, True,
+                        TestType.WHOLE_GRAPH,
+                    ))
+        return results

@@ -1,0 +1,59 @@
+import numpy as np
+
+from ppr_tpu.harness import PerfHarness, TestType, SWEEPS
+from ppr_tpu.models import AlgoType
+
+
+def test_perf_test_whole_graph(got, tmp_path):
+    h = PerfHarness(got, seed=0, out_dir=str(tmp_path), progress=False)
+    res = h.algo_perf_test(
+        AlgoType.FWDPUSH, 5, -1, 1e-6, -1.0, False, TestType.WHOLE_GRAPH
+    )
+    assert res.avg_max_err is not None and res.avg_max_err < 1e-3
+    assert res.avg_ms > 0
+    report = (tmp_path / f"{got.name}_AlgoPerfResults.txt").read_text()
+    assert "1e-06" in report or "1e-06" in report.replace("E", "e")
+
+
+def test_perf_test_topk(got, tmp_path):
+    h = PerfHarness(got, seed=1, out_dir=str(tmp_path), progress=False)
+    res = h.algo_perf_test(
+        AlgoType.FORA_TOPK, 5, 10, 0.5, -1.0, False, TestType.TOPK
+    )
+    assert res.avg_precision > 0.85
+    assert res.avg_ndcg > 0.95
+
+
+def test_perf_test_preprocessed(got, tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    h = PerfHarness(got, seed=2, out_dir=str(tmp_path), progress=False)
+    res = h.algo_perf_test(
+        AlgoType.MC, 4, -1, 1.0, -1.0, True, TestType.WHOLE_GRAPH
+    )
+    assert res.prep_ms is not None and res.prep_bytes > 0
+    assert res.avg_max_err < 0.2
+
+
+def test_query_nodes_seeded(got):
+    a = PerfHarness(got, seed=7).get_query_nodes(20)
+    b = PerfHarness(got, seed=7).get_query_nodes(20)
+    assert np.array_equal(a, b)
+    assert a.min() >= 0 and a.max() < got.n
+
+
+def test_sweep_specs_cover_all_datasets():
+    assert set(SWEEPS) == {"got", "blogcatalog", "flickr", "grqc", "amazon"}
+    got = SWEEPS["got"]
+    # 5 algorithms per GOT test, 5 params each (Gen_Util.java:451-478)
+    assert len(got["whole_graph"]) == 5
+    assert all(len(v) == 5 for v in got["whole_graph"].values())
+
+
+def test_cli_smoke(tmp_path, monkeypatch, capsys):
+    monkeypatch.chdir(tmp_path)
+    from ppr_tpu.cli import load_dataset, build_parser
+
+    ds = load_dataset("synth:300x4@1")
+    assert ds.graph.n == 300
+    args = build_parser().parse_args(["--query", "3", "--k", "5"])
+    assert args.alpha == 0.15 and args.eps == 0.5
