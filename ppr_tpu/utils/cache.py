@@ -1,0 +1,24 @@
+"""Persistent XLA compilation cache.
+
+TPU compiles through the remote-compile tunnel are expensive (minutes for
+kernels with while-loops); caching compiled executables on disk makes
+repeated bench/driver runs start hot."""
+
+from __future__ import annotations
+
+import os
+
+
+def enable_compilation_cache(path: str | None = None) -> None:
+    import jax
+
+    path = path or os.environ.get(
+        "PPR_TPU_COMPILE_CACHE", os.path.expanduser("~/.cache/ppr_tpu_xla")
+    )
+    os.makedirs(path, exist_ok=True)
+    try:
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:
+        pass  # older jax without these flags
