@@ -120,17 +120,25 @@ def build_graph(
     n_pad = max(_round_up(max(n, 1), node_align), node_align)
     m_pad = max(_round_up(max(m, 1), edge_align), edge_align)
 
-    # sort edges by src -> CSR order; keeps walk gather and push gather coherent
-    order = np.argsort(src, kind="stable")
-    src_s = src[order]
-    dst_s = dst[order]
+    # sort edges by src -> CSR order (stable). The native C++ builder does a
+    # counting sort at memory bandwidth; the numpy argsort path is the
+    # dependency-free fallback with identical layout.
+    from ..native import build_csr_native
 
-    out_deg = np.bincount(src_s, minlength=n_pad).astype(np.int32)
-    in_deg = np.bincount(dst_s, minlength=n_pad).astype(np.int32)
-
-    indptr = np.zeros(n_pad + 1, dtype=np.int64)
-    np.cumsum(out_deg, out=indptr[1:])
-    indptr = indptr.astype(np.int32)
+    native = build_csr_native(src, dst, n, n_pad) if m else None
+    if native is not None:
+        indptr, indices_m, src_s, out_deg, in_deg = native
+        dst_s = indices_m.astype(np.int64)
+        src_s = src_s.astype(np.int64)
+    else:
+        order = np.argsort(src, kind="stable")
+        src_s = src[order]
+        dst_s = dst[order]
+        out_deg = np.bincount(src_s, minlength=n_pad).astype(np.int32)
+        in_deg = np.bincount(dst_s, minlength=n_pad).astype(np.int32)
+        indptr = np.zeros(n_pad + 1, dtype=np.int64)
+        np.cumsum(out_deg, out=indptr[1:])
+        indptr = indptr.astype(np.int32)
 
     pad_node = n_pad - 1
     indices = np.full(m_pad, pad_node, dtype=np.int32)

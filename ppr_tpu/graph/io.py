@@ -100,28 +100,48 @@ def load_edge_list(
     comment: str = "#",
     dense_threshold: int = 4096,
 ) -> Dataset:
-    """Load a whitespace-separated ``src dst`` edge list (SNAP style)."""
-    src, dst = [], []
-    seen: dict[int, int] = {}
-    with open(path, encoding="utf-8") as f:
-        for line in f:
-            line = line.strip()
-            if not line or line.startswith(comment):
-                continue
-            a, b = line.split()[:2]
-            for tok in (a, b):
-                if int(tok) not in seen:
-                    seen[int(tok)] = len(seen)
-            src.append(seen[int(a)])
-            dst.append(seen[int(b)])
-    n = len(seen)
-    graph = build_graph(
-        np.asarray(src, np.int64), np.asarray(dst, np.int64), n=n,
-        dense_threshold=dense_threshold,
-    )
+    """Load a whitespace-separated ``src dst`` edge list (SNAP style).
+
+    Ids are densely remapped in first-appearance order. Parsing goes through
+    the native C++ reader when available (ppr_tpu/native), with a pure-python
+    fallback."""
+    from ..native import parse_edge_list_native
+
+    cap = max(os.path.getsize(path) // 3 + 16, 1024)
+    parsed = parse_edge_list_native(path, cap)
+    if parsed is not None:
+        raw_src, raw_dst = parsed
+    else:
+        src_l, dst_l = [], []
+        with open(path, encoding="utf-8") as f:
+            for line in f:
+                line = line.strip()
+                if not line or line.startswith(comment):
+                    continue
+                a, b = line.split()[:2]
+                src_l.append(int(a))
+                dst_l.append(int(b))
+        raw_src = np.asarray(src_l, np.int64)
+        raw_dst = np.asarray(dst_l, np.int64)
+
+    # dense remap in first-appearance order (matches the reference's
+    # mapped-id behaviour of assigning ids as nodes are first seen)
+    stacked = np.empty(raw_src.size * 2, np.int64)
+    stacked[0::2] = raw_src
+    stacked[1::2] = raw_dst
+    uniq, first_pos = np.unique(stacked, return_index=True)
+    order = np.argsort(first_pos, kind="stable")
+    uniq_in_order = uniq[order]
+    lookup = np.empty(uniq.max() + 1 if uniq.size else 1, np.int64)
+    lookup[uniq_in_order] = np.arange(uniq_in_order.size)
+    src = lookup[raw_src]
+    dst = lookup[raw_dst]
+    n = uniq_in_order.size
+
+    graph = build_graph(src, dst, n=n, dense_threshold=dense_threshold)
     if name is None:
         name = os.path.splitext(os.path.basename(path))[0]
-    names = [str(orig) for orig in sorted(seen, key=seen.get)]
+    names = [str(int(orig)) for orig in uniq_in_order]
     return Dataset(graph=graph, names=names, name=name)
 
 

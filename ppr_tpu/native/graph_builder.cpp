@@ -1,0 +1,82 @@
+// Native graph-builder: CSV/edge-list -> CSR/COO arrays.
+//
+// The reference's ingestion path is the Neo4j store import plus the
+// HeavyGraph bulk load (PPR.java:141-147) — both JVM machinery. The TPU
+// engine replaces them with this small C++ runtime: a counting-sort CSR
+// builder and a zero-copy edge-list parser, O(n + m) with no Python-object
+// overhead, so million/billion-edge graphs load at memory bandwidth before
+// being handed to device memory.
+//
+// Exposed via ctypes (see ppr_tpu/native/__init__.py); all buffers are
+// caller-allocated numpy arrays.
+
+#include <cstdint>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+
+extern "C" {
+
+// Build CSR (indptr/indices) + src-sorted COO from a directed edge list.
+// src/dst: int64[m] with values in [0, n). Outputs:
+//   indptr:     int32[n_pad + 1]
+//   indices:    int32[m]  (dst sorted by src, stable)
+//   sorted_src: int32[m]
+//   out_deg:    int32[n_pad]  (zero-filled past n)
+//   in_deg:     int32[n_pad]
+// Returns 0 on success, -1 on out-of-range endpoints.
+int ppr_build_csr(int64_t m, const int64_t* src, const int64_t* dst,
+                  int64_t n, int64_t n_pad,
+                  int32_t* indptr, int32_t* indices, int32_t* sorted_src,
+                  int32_t* out_deg, int32_t* in_deg) {
+  memset(out_deg, 0, sizeof(int32_t) * n_pad);
+  memset(in_deg, 0, sizeof(int32_t) * n_pad);
+  for (int64_t i = 0; i < m; ++i) {
+    if (src[i] < 0 || src[i] >= n || dst[i] < 0 || dst[i] >= n) return -1;
+    ++out_deg[src[i]];
+    ++in_deg[dst[i]];
+  }
+  indptr[0] = 0;
+  for (int64_t v = 0; v < n_pad; ++v) indptr[v + 1] = indptr[v] + out_deg[v];
+  // counting sort by src (stable: preserves input edge order per source)
+  int32_t* cursor = (int32_t*)malloc(sizeof(int32_t) * (n_pad + 1));
+  memcpy(cursor, indptr, sizeof(int32_t) * (n_pad + 1));
+  for (int64_t i = 0; i < m; ++i) {
+    int32_t pos = cursor[src[i]]++;
+    indices[pos] = (int32_t)dst[i];
+    sorted_src[pos] = (int32_t)src[i];
+  }
+  free(cursor);
+  return 0;
+}
+
+// Parse a whitespace/comma-separated "src dst" edge-list file (SNAP style,
+// '#' comments) into preallocated int64 buffers. Returns the number of
+// edges parsed, or -1 if the file can't be opened, or -2 if cap exceeded.
+int64_t ppr_parse_edge_list(const char* path, int64_t cap,
+                            int64_t* src, int64_t* dst) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return -1;
+  int64_t m = 0;
+  char line[256];
+  while (fgets(line, sizeof(line), f)) {
+    const char* p = line;
+    while (*p == ' ' || *p == '\t') ++p;
+    if (*p == '#' || *p == '\n' || *p == '\0') continue;
+    char* end;
+    long long a = strtoll(p, &end, 10);
+    if (end == p) continue;
+    p = end;
+    while (*p == ' ' || *p == '\t' || *p == ',') ++p;
+    long long b = strtoll(p, &end, 10);
+    if (end == p) continue;
+    if (m >= cap) { fclose(f); return -2; }
+    src[m] = a;
+    dst[m] = b;
+    ++m;
+  }
+  fclose(f);
+  return m;
+}
+
+}  // extern "C"
