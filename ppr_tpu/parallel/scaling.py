@@ -1,0 +1,61 @@
+"""Scaling-efficiency sweep: query throughput at 1 -> N devices.
+
+BASELINE.json target: >= 80% scaling efficiency to 2 hosts. The reference
+has nothing to compare (single JVM); this harness measures the sharded FORA
+query step (``parallel/sharded.sharded_fora_step``) at increasing mesh sizes
+and reports steps/s and efficiency relative to the 1-device run. On CI this
+runs against the virtual CPU mesh; on hardware the same code runs over real
+chips (multi-host via standard ``jax.distributed`` initialization — no code
+change, the mesh just spans hosts).
+"""
+
+from __future__ import annotations
+
+import time
+
+import jax
+
+from ..graph.csr import Graph
+from .sharded import make_mesh, sharded_fora_step
+
+
+def scaling_sweep(
+    g: Graph,
+    device_counts: list[int] | None = None,
+    *,
+    alpha: float = 0.15,
+    num_sweeps: int = 4,
+    walkers_per_row: int = 256,
+    iters: int = 5,
+) -> list[dict]:
+    devices = jax.devices()
+    if device_counts is None:
+        device_counts = [d for d in (1, 2, 4, 8) if d <= len(devices)]
+
+    results = []
+    base_qps = None
+    for nd in device_counts:
+        mesh = make_mesh(nd)
+        step, example = sharded_fora_step(
+            mesh, g, alpha, num_sweeps=num_sweeps,
+            walkers_per_row=walkers_per_row,
+        )
+        out = step(*example)           # compile + warmup
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = step(*example)
+        jax.block_until_ready(out)
+        dt = (time.perf_counter() - t0) / iters
+        b = example[0].shape[0]
+        qps = b / dt
+        if base_qps is None:
+            base_qps = qps / nd  # per-device baseline at the smallest mesh
+        results.append({
+            "devices": nd,
+            "batch": b,
+            "steps_per_sec": 1.0 / dt,
+            "queries_per_sec": qps,
+            "efficiency": qps / (base_qps * nd),
+        })
+    return results
