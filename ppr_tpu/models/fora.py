@@ -81,6 +81,16 @@ def _walk_contrib(
     return out.at[rows, stops].add(w)
 
 
+@partial(jax.jit, static_argnames=("k",))
+def _kth_over_support(p: jax.Array, k: int) -> jax.Array:
+    """Per-row k-th largest positive value; 0.0 when support < k (the
+    reference's kth_ppr-null-means-0.0, Fora_Topk.java:171-172)."""
+    vals, _ = jax.lax.top_k(p, k)
+    kth = vals[..., -1]
+    support = jnp.sum((p > 0).astype(jnp.int32), axis=-1)
+    return jnp.where(support >= k, kth, 0.0)
+
+
 @jax.jit
 def _whole_graph_walk_setup(r: jax.Array, omega: jax.Array):
     """reserve += alpha*r; r' = (1-alpha)*r; omega_i = ceil(r'*omega);
@@ -101,12 +111,17 @@ class ForaWholeGraph(PreprocessingMixin, PPRAlgorithm):
 
     def __init__(self, dataset, alpha: float, *, delta: float | None = None,
                  pfail: float | None = None, seed: int = 0,
-                 max_push_rounds: int = 30):
+                 max_push_rounds: int = 30, fresh_rounds: bool = False):
         super().__init__(dataset, alpha, seed=seed)
         n = dataset.graph.n
         self.delta = delta if delta is not None else 1.0 / n
         self.pfail = pfail if pfail is not None else 1.0 / n
         self.max_push_rounds = max_push_rounds
+        #: True replicates the reference exactly (a *fresh* push from r = e_s
+        #: every round, Fora_Whole_Graph.java:94-100); False continues each
+        #: round from the previous fixpoint — reaching an equivalent fixpoint
+        #: (push is confluent) with strictly less device work.
+        self.fresh_rounds = fresh_rounds
 
     def compute_whole_graph_batch(self, sources: np.ndarray, param) -> np.ndarray:
         eps = float(param)
@@ -129,7 +144,10 @@ class ForaWholeGraph(PreprocessingMixin, PPRAlgorithm):
             and rounds < self.max_push_rounds
         ):
             t0 = time.perf_counter_ns()
-            p0, r0, src_onehot = forward_push_init(g, sources_j)
+            if p is None or self.fresh_rounds:
+                p0, r0, src_onehot = forward_push_init(g, sources_j)
+            else:
+                p0, r0 = p, r
             p, r, _ = forward_push_sweeps(
                 g, p0, r0, src_onehot, jnp.float32(rmax), self.alpha
             )
@@ -206,7 +224,7 @@ class ForaTopk(PPRAlgorithm):
             result = round_p
 
             # termination (Fora_Topk.java:173-178): kth reserve >= (1+eps')*delta
-            kth = _batched_kth_over_support(np.asarray(round_p), k)
+            kth = np.asarray(_kth_over_support(round_p, k))
             if np.all(kth >= (1.0 + eps) * delta) or delta <= self.min_delta:
                 break
             delta = max(self.min_delta, delta / 4.0)
@@ -220,12 +238,3 @@ class ForaTopk(PPRAlgorithm):
         return self.compute_topk_batch(sources, self.k, param)
 
 
-def _batched_kth_over_support(p: np.ndarray, k: int) -> np.ndarray:
-    """Per-row k-th largest positive value; 0.0 when the support is smaller
-    than k (the reference's kth_ppr-null-means-0.0, Fora_Topk.java:171-172)."""
-    out = np.zeros(p.shape[0], p.dtype)
-    for i, row in enumerate(p):
-        sup = row[row > 0]
-        if sup.size >= k:
-            out[i] = np.partition(sup, -k)[-k]
-    return out
