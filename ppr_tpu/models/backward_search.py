@@ -44,13 +44,22 @@ class BackwardSearch:
         self.graph = graph
         self.alpha = float(alpha)
         self.rmax = float(rmax)
+        self.duration_ns = 0  # accumulated, as Backward_Search.java:36,:98-99
 
     def whole_graph(self, targets: np.ndarray) -> np.ndarray:
         """pi(., t) for a batch of targets — rows indexed by target."""
+        import time
+
+        t0 = time.perf_counter_ns()
         p, _ = backward_search_batch(
             self.graph,
             jnp.asarray(targets, jnp.int32),
             jnp.float32(self.rmax),
             self.alpha,
         )
-        return np.asarray(p)
+        out = np.asarray(p)
+        self.duration_ns += time.perf_counter_ns() - t0
+        return out
+
+    def get_duration(self) -> int:
+        return self.duration_ns

@@ -95,11 +95,17 @@ def forward_push_sweeps(
 
 @jax.jit
 def forward_push_init(g: Graph, sources: jax.Array):
-    """Initial (p, r, src_onehot) state for a batch of source node ids."""
-    b = sources.shape[0]
+    """Initial (p, r, src_onehot) state for a batch of source node ids.
+
+    Rows whose source has out-degree 0 are short-circuited *at init* to
+    reserve = e_s, residue = 0 (Forward_Push.java:70-74 terminates before
+    entering the push loop) — this also avoids the degenerate self-feeding
+    sweep loop a dangling source would otherwise cause."""
     src_onehot = jax.nn.one_hot(sources, g.n_pad, dtype=jnp.float32)
-    p = jnp.zeros((b, g.n_pad), jnp.float32)
-    return p, src_onehot, src_onehot
+    is_shortcircuit = (jnp.take(g.out_deg, sources) == 0)[:, None]
+    p = jnp.where(is_shortcircuit, src_onehot, 0.0)
+    r = jnp.where(is_shortcircuit, 0.0, src_onehot)
+    return p, r, src_onehot
 
 
 def apply_dangling_source_shortcircuit(

@@ -31,6 +31,7 @@ def progress_printer(total: int, *, enabled: bool = True):
 
 class PerfResultWriter:
     def __init__(self, dataset_name: str, out_dir: str = "."):
+        os.makedirs(out_dir, exist_ok=True)
         self.path = os.path.join(out_dir, f"{dataset_name}_AlgoPerfResults.txt")
 
     def _append(self, text: str) -> None:
