@@ -60,10 +60,14 @@ class Graph:
     indptr: jax.Array       # int32[n_pad + 1]; indptr[v]..indptr[v+1] out-edges of v
     indices: jax.Array      # int32[m_pad]; out-neighbor node ids (padded tail = n_pad-1)
 
-    # --- COO edge list (drives push scatter kernels) ---
+    # --- COO edge list, src-sorted (drives push scatter kernels) ---
     edge_src: jax.Array     # int32[m_pad]
     edge_dst: jax.Array     # int32[m_pad]
     edge_mask: jax.Array    # float32[m_pad]; 1.0 for real edges, 0.0 for padding
+
+    # --- same edges sorted by destination (for sorted segment-sum scatter) ---
+    edge_src_bydst: jax.Array  # int32[m_pad]
+    edge_dst_bydst: jax.Array  # int32[m_pad] (non-decreasing)
 
     # --- per-node arrays ---
     out_deg: jax.Array      # int32[n_pad]
@@ -117,7 +121,9 @@ def build_graph(
     if m and (src.min() < 0 or src.max() >= n or dst.min() < 0 or dst.max() >= n):
         raise ValueError("edge endpoint out of range")
 
-    n_pad = max(_round_up(max(n, 1), node_align), node_align)
+    # n+1 guarantees the sentinel node n_pad-1 is always a padding node
+    # (never a real node), so padding edges are inert without masking.
+    n_pad = max(_round_up(n + 1, node_align), node_align)
     m_pad = max(_round_up(max(m, 1), edge_align), edge_align)
 
     # sort edges by src -> CSR order (stable). The native C++ builder does a
@@ -151,6 +157,14 @@ def build_graph(
     edge_mask = np.zeros(m_pad, dtype=np.float32)
     edge_mask[:m] = 1.0
 
+    # destination-sorted view of the same edges (padding sorts to the end
+    # since the sentinel is n_pad-1); enables sorted segment-sum scatter
+    order_d = np.argsort(dst_s, kind="stable")
+    edge_src_bydst = np.full(m_pad, pad_node, dtype=np.int32)
+    edge_src_bydst[:m] = src_s[order_d]
+    edge_dst_bydst = np.full(m_pad, pad_node, dtype=np.int32)
+    edge_dst_bydst[:m] = dst_s[order_d]
+
     node_mask = np.zeros(n_pad, dtype=np.float32)
     node_mask[:n] = 1.0
 
@@ -168,6 +182,8 @@ def build_graph(
         edge_src=jnp.asarray(edge_src),
         edge_dst=jnp.asarray(edge_dst),
         edge_mask=jnp.asarray(edge_mask),
+        edge_src_bydst=jnp.asarray(edge_src_bydst),
+        edge_dst_bydst=jnp.asarray(edge_dst_bydst),
         out_deg=jnp.asarray(out_deg),
         in_deg=jnp.asarray(in_deg),
         node_mask=jnp.asarray(node_mask),

@@ -43,11 +43,28 @@ def _safe_inv_deg(deg: jax.Array) -> jax.Array:
 def push_out(g: Graph, a: jax.Array, *, backend: str | None = None) -> jax.Array:
     """``y[u] = sum over edges v->u of a[v] / d_out(v)`` (batched over leading dims)."""
     if backend is None:
-        backend = "dense" if g.has_dense else "coo"
+        backend = "dense" if g.has_dense else "coo_sorted"
     if backend == "dense":
         return jnp.matmul(a, g.dense_out, preferred_element_type=jnp.float32)
-    # coo: per-edge contribution gathered at source, scattered to destination
     inv_deg = _safe_inv_deg(g.out_deg)
+    if backend == "coo_sorted":
+        # gather at source along the dst-sorted edge order, then a *sorted*
+        # segmented reduction over destinations — avoids the serialized
+        # random scatter-add (padding edges sort to the sentinel node and are
+        # sliced off by construction: a[pad] * inv_deg[pad] = a[pad] * 0).
+        contrib = jnp.take(a * inv_deg, g.edge_src_bydst, axis=-1)
+        if contrib.ndim == 1:
+            return jax.ops.segment_sum(
+                contrib, g.edge_dst_bydst, num_segments=g.n_pad,
+                indices_are_sorted=True,
+            )
+        contrib_t = jnp.moveaxis(contrib, -1, 0)      # [m_pad, ...]
+        out_t = jax.ops.segment_sum(
+            contrib_t, g.edge_dst_bydst, num_segments=g.n_pad,
+            indices_are_sorted=True,
+        )
+        return jnp.moveaxis(out_t, 0, -1)
+    # coo: per-edge contribution gathered at source, scattered to destination
     contrib = jnp.take(a * inv_deg, g.edge_src, axis=-1) * g.edge_mask
     out = jnp.zeros_like(a)
     return out.at[..., g.edge_dst].add(contrib)
@@ -56,14 +73,31 @@ def push_out(g: Graph, a: jax.Array, *, backend: str | None = None) -> jax.Array
 def pull_out_norm(g: Graph, a: jax.Array, *, backend: str | None = None) -> jax.Array:
     """``y[u] = (1/d_out(u)) * sum over edges u->v of a[v]`` (reverse push step)."""
     if backend is None:
-        backend = "dense" if g.has_dense else "coo"
+        backend = "dense" if g.has_dense else "coo_sorted"
     if backend == "dense":
         return jnp.matmul(
             a, g.dense_out.T, preferred_element_type=jnp.float32
         )
+    inv_deg = _safe_inv_deg(g.out_deg)
+    if backend == "coo_sorted":
+        # the primary edge order is already src-sorted: gather at dst, sorted
+        # segmented reduction over sources (padding edges are inert — the
+        # sentinel node never carries residue)
+        contrib = jnp.take(a, g.edge_dst, axis=-1)
+        if contrib.ndim == 1:
+            out = jax.ops.segment_sum(
+                contrib, g.edge_src, num_segments=g.n_pad,
+                indices_are_sorted=True,
+            )
+            return out * inv_deg
+        contrib_t = jnp.moveaxis(contrib, -1, 0)
+        out_t = jax.ops.segment_sum(
+            contrib_t, g.edge_src, num_segments=g.n_pad,
+            indices_are_sorted=True,
+        )
+        return jnp.moveaxis(out_t, 0, -1) * inv_deg
     # coo: gather residue at edge destination, scatter to edge source / d_out(src)
     contrib = jnp.take(a, g.edge_dst, axis=-1) * g.edge_mask
-    inv_deg = _safe_inv_deg(g.out_deg)
     out = jnp.zeros_like(a)
     out = out.at[..., g.edge_src].add(contrib)
     return out * inv_deg

@@ -81,10 +81,15 @@ def random_walks(
 
     def body(state):
         cur_, active, key_, step = state
-        key_, k_stop, k_move = jax.random.split(key_, 3)
-        stop_now = jax.random.uniform(k_stop, (w,)) < alpha
-        u = jax.random.uniform(k_move, (w,))
-        nxt = _uniform_neighbor(g, cur_, u, starts)
+        key_, k_u = jax.random.split(key_)
+        # one uniform per step: u < alpha decides the stop; conditioned on
+        # u >= alpha, (u - alpha)/(1 - alpha) is again U[0,1) and drives the
+        # neighbor pick (inverse-CDF composition — halves PRNG cost vs two
+        # independent draws, identical distribution).
+        u = jax.random.uniform(k_u, (w,))
+        stop_now = u < alpha
+        u_move = (u - alpha) * (1.0 / (1.0 - alpha))
+        nxt = _uniform_neighbor(g, cur_, u_move, starts)
         moved = jnp.where(active & ~stop_now, nxt, cur_)
         return moved, active & ~stop_now, key_, step + 1
 

@@ -65,6 +65,8 @@ def shard_graph(g: Graph, mesh: Mesh) -> Graph:
         edge_src=jax.device_put(g.edge_src, edge_spec),
         edge_dst=jax.device_put(g.edge_dst, edge_spec),
         edge_mask=jax.device_put(g.edge_mask, edge_spec),
+        edge_src_bydst=jax.device_put(g.edge_src_bydst, edge_spec),
+        edge_dst_bydst=jax.device_put(g.edge_dst_bydst, edge_spec),
         out_deg=jax.device_put(g.out_deg, rep),
         in_deg=jax.device_put(g.in_deg, rep),
         node_mask=jax.device_put(g.node_mask, rep),
