@@ -1,0 +1,17 @@
+"""TPU-native Personalized PageRank retrieval engine.
+
+Capabilities-parity rebuild of joezie/Personalized-PageRank-Algorithms-on-Neo4j
+(see SURVEY.md) designed TPU-first: array graph store, frontier-masked push
+sweeps, vectorized walkers, MXU dense operators, mesh-sharded execution.
+"""
+
+__version__ = "0.1.0"
+
+from .graph.csr import Graph, build_graph  # noqa: F401
+from .graph.io import (  # noqa: F401
+    Dataset,
+    load_edge_list,
+    load_got,
+    load_neo4j_csv,
+    synthetic_powerlaw,
+)
