@@ -149,12 +149,15 @@ class PerfResult:
 class PerfHarness:
     def __init__(self, dataset: Dataset, alpha: float = 0.15, *, seed: int = 0,
                  out_dir: str = ".", batched: bool = True,
-                 progress: bool = True):
+                 progress: bool = True, warmup: bool = True):
         self.dataset = dataset
         self.alpha = alpha
         self.seed = seed
         self.batched = batched
         self.progress = progress
+        #: in batched mode, run the query batch once untimed first so jit
+        #: compilation is excluded from per-query timings
+        self.warmup = warmup
         self.writer = PerfResultWriter(dataset.name, out_dir)
         self._rng = np.random.default_rng(seed)
         self._oracle_cache: dict[tuple, np.ndarray] = {}
@@ -214,11 +217,15 @@ class PerfHarness:
                     report(i)
                 return np.stack(rows), (time.perf_counter() - t0) * 1e3 / query_num
             if self.batched:
+                def run():
+                    if test_type == TestType.TOPK:
+                        return algo.compute_topk_batch(sources, k, param)
+                    return algo.compute_whole_graph_batch(sources, param)
+
+                if self.warmup:
+                    run()
                 t0 = time.perf_counter()
-                if test_type == TestType.TOPK:
-                    scores = algo.compute_topk_batch(sources, k, param)
-                else:
-                    scores = algo.compute_whole_graph_batch(sources, param)
+                scores = run()
                 return np.asarray(scores), (
                     (time.perf_counter() - t0) * 1e3 / query_num
                 )

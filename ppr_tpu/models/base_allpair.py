@@ -57,18 +57,28 @@ class BaseAllPair(PPRAlgorithm):
         bws = BackwardSearch(self.graph, self.alpha, rmax=threshold)
         report = progress_printer(n, enabled=progress)
 
-        # accumulate pi(s, t) >= threshold; rows = sources, cols = targets
-        rows_ids: list[list] = [[] for _ in range(n)]
-        rows_vals: list[list] = [[] for _ in range(n)]
+        # accumulate pi(s, t) >= threshold as COO triplets (vectorized)
+        v_parts, t_parts, val_parts = [], [], []
         for start in range(0, n, self.target_batch):
             targets = np.arange(start, min(start + self.target_batch, n))
             reserve = bws.whole_graph(targets)       # [T, n_pad]; row t, col v
             keep_t, keep_v = np.nonzero(reserve[:, :n] >= threshold)
-            vals = reserve[keep_t, keep_v]
-            for t_local, v, val in zip(keep_t, keep_v, vals):
-                rows_ids[v].append(int(targets[t_local]))
-                rows_vals[v].append(float(val))
+            v_parts.append(keep_v.astype(np.int64))
+            t_parts.append(targets[keep_t])
+            val_parts.append(reserve[keep_t, keep_v])
             report(min(start + self.target_batch, n) - 1)
+
+        v_all = np.concatenate(v_parts) if v_parts else np.zeros(0, np.int64)
+        t_all = np.concatenate(t_parts) if t_parts else np.zeros(0, np.int64)
+        val_all = (
+            np.concatenate(val_parts) if val_parts else np.zeros(0, np.float32)
+        )
+        # group by source v; stable sort keeps targets ascending within each
+        # source (the reference's LinkedHashMap insertion order over the
+        # ascending target loop, Base_Whole_Graph.java:76-92)
+        order = np.argsort(v_all, kind="stable")
+        v_all, t_all, val_all = v_all[order], t_all[order], val_all[order]
+        row_ptr = np.searchsorted(v_all, np.arange(n + 1))
 
         store = self.make_store(threshold, k)
         store.reset()
@@ -77,8 +87,9 @@ class BaseAllPair(PPRAlgorithm):
         shard = 0
         ids_list, vals_list, sources = [], [], []
         for s in range(n):
-            ids = np.asarray(rows_ids[s], np.int32)
-            vals = np.asarray(rows_vals[s], np.float32)
+            lo, hi = row_ptr[s], row_ptr[s + 1]
+            ids = t_all[lo:hi].astype(np.int32)
+            vals = val_all[lo:hi].astype(np.float32)
             if k >= 0 and ids.size:
                 dense = np.zeros(self.graph.n_pad, np.float32)
                 dense[ids] = vals
