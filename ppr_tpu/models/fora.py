@@ -51,8 +51,28 @@ from ..ops.push import (
     forward_push_init,
     forward_push_sweeps,
 )
+from ..ops.spmv import push_out
 from ..ops.walk import expand_walkers, random_walks
 from .base import PPRAlgorithm, PreprocessingMixin
+
+
+def _default_cost_constants() -> tuple[float, float]:
+    """(walk_ns_per_walk, spmv_ns_per_edge_row) for the active backend.
+
+    The reference hard-codes 400 ns/walk for its JVM (Fora_Whole_Graph.java:35).
+    Measured on TPU v5e: ~2000 ns/walk amortized (random-gather bound) and
+    ~0.5 ns per edge-row for one propagation sweep (bandwidth bound)."""
+    import jax
+
+    if jax.default_backend() == "cpu":
+        return 400.0, 4.0
+    return 2000.0, 0.5
+
+
+def _completion_iters(rsum: float, target: float, alpha: float) -> int:
+    if rsum <= target or rsum <= 0:
+        return 0
+    return int(math.ceil(math.log(target / rsum) / math.log1p(-alpha)))
 
 
 def _pow2_bucket(x: int) -> int:
@@ -81,6 +101,44 @@ def _walk_contrib(
     return out.at[rows, stops].add(w)
 
 
+@partial(jax.jit, static_argnames=("alpha", "max_iters"))
+def residual_propagate(
+    g: Graph,
+    p: jax.Array,            # f32[B, n_pad]
+    r: jax.Array,            # f32[B, n_pad]
+    src_onehot: jax.Array,   # f32[B, n_pad]
+    target: jax.Array,       # f32 scalar: stop once every row's rsum <= target
+    alpha: float,
+    max_iters: int = 400,
+):
+    """Deterministic residual completion: synchronous propagation iterations
+    (p += alpha*r; r <- (1-alpha) P^T r, dangling mass back to the source —
+    the Power_Method.java:55-100 step) until the residue mass is below
+    ``target``. Mathematically this computes the same quantity FORA's random
+    walks estimate — pi(residual) = sum_i r_i * pi(v_i, .) — exactly instead
+    of by sampling, with truncation error per node bounded by the remaining
+    rsum. On TPU this is the fast completion: batched SpMV rides memory
+    bandwidth/MXU whereas per-walker stepping is random-gather bound."""
+    alpha = jnp.float32(alpha)
+    is_dangling = (g.out_deg == 0) & (g.node_mask > 0)
+
+    def cond(state):
+        _, r_, it = state
+        return (it < max_iters) & (jnp.max(jnp.sum(r_, axis=-1)) > target)
+
+    def body(state):
+        p_, r_, it = state
+        p_ = p_ + alpha * r_
+        rem = (1.0 - alpha) * r_
+        rem_dang = jnp.where(is_dangling, rem, 0.0)
+        dang_mass = jnp.sum(rem_dang, axis=-1, keepdims=True)
+        r_ = push_out(g, rem - rem_dang) + dang_mass * src_onehot
+        return p_, r_, it + 1
+
+    p, r, iters = jax.lax.while_loop(cond, body, (p, r, jnp.int32(0)))
+    return p, r, iters
+
+
 @partial(jax.jit, static_argnames=("k",))
 def _kth_over_support(p: jax.Array, k: int) -> jax.Array:
     """Per-row k-th largest positive value; 0.0 when support < k (the
@@ -105,18 +163,23 @@ class ForaWholeGraph(PreprocessingMixin, PPRAlgorithm):
     name = "FORA"
     prep_dirname = "FORA_ppr_results"
 
-    #: calibratable per-backend walk cost (ns/walk); reference value 400.0
-    #: (Fora_Whole_Graph.java:35) measured on its JVM/CPU.
-    avg_rand_walk_time_ns = 400.0
-
     def __init__(self, dataset, alpha: float, *, delta: float | None = None,
                  pfail: float | None = None, seed: int = 0,
-                 max_push_rounds: int = 30, fresh_rounds: bool = False):
+                 max_push_rounds: int = 30, fresh_rounds: bool = False,
+                 completion: str = "auto"):
         super().__init__(dataset, alpha, seed=seed)
         n = dataset.graph.n
         self.delta = delta if delta is not None else 1.0 / n
         self.pfail = pfail if pfail is not None else 1.0 / n
         self.max_push_rounds = max_push_rounds
+        #: residual completion strategy: "walks" (the reference's randomized
+        #: estimator, Fora_Whole_Graph.java:119-140), "spmv" (deterministic
+        #: batched residue propagation — exact, TPU-fast), or "auto" (FORA's
+        #: own cost model with per-backend calibrated constants)
+        self.completion = completion
+        self.avg_rand_walk_time_ns, self.spmv_ns_per_edge_row = (
+            _default_cost_constants()
+        )
         #: True replicates the reference exactly (a *fresh* push from r = e_s
         #: every round, Fora_Whole_Graph.java:94-100); False continues each
         #: round from the previous fixpoint — reaching an equivalent fixpoint
@@ -158,27 +221,48 @@ class ForaWholeGraph(PreprocessingMixin, PPRAlgorithm):
             rmax /= 2.0
             rounds += 1
 
-        # --- part 2: residual-weighted no-zero-hop walks (:119-140) ---
-        r1 = (1.0 - self.alpha) * r
-        p = p + self.alpha * r
-        om, w = _whole_graph_walk_setup(r1, jnp.float32(omega))
-        total = int(jnp.sum(om))
-        if total > 0:
-            cap = _pow2_bucket(total)
-            p = p + _walk_contrib(
-                g, om, w, self.next_key(), self.alpha, cap, True
+        # --- part 2: residual completion ---
+        # target residual mass for the deterministic completion: eps*delta
+        # keeps the per-node truncation error within FORA's eps*pi bound for
+        # every pi >= delta.
+        target = eps * self.delta
+        rsum_now = float(np.asarray(r.sum(axis=-1)).max())
+        if self._use_spmv(omega, rsum_now, target):
+            p, r, _ = residual_propagate(
+                g, p, r, src_onehot, jnp.float32(target), self.alpha
             )
+        else:
+            # the reference's randomized estimator: residual-weighted
+            # no-zero-hop walks (Fora_Whole_Graph.java:119-140)
+            r1 = (1.0 - self.alpha) * r
+            p = p + self.alpha * r
+            om, w = _whole_graph_walk_setup(r1, jnp.float32(omega))
+            total = int(jnp.sum(om))
+            if total > 0:
+                cap = _pow2_bucket(total)
+                p = p + _walk_contrib(
+                    g, om, w, self.next_key(), self.alpha, cap, True
+                )
 
         p, _ = apply_dangling_source_shortcircuit(
             g, sources_j, p, jnp.zeros_like(p), src_onehot
         )
         return np.asarray(p)
 
+    def _use_spmv(self, omega: float, rsum: float, target: float) -> bool:
+        if self.completion != "auto":
+            return self.completion == "spmv"
+        walk_cost = self.avg_rand_walk_time_ns * omega * rsum
+        iters = _completion_iters(rsum, target, self.alpha)
+        spmv_cost = iters * self.spmv_ns_per_edge_row * max(self.graph.m, 1)
+        return spmv_cost < walk_cost
+
 
 class ForaTopk(PPRAlgorithm):
     name = "FORA-Topk"
 
-    def __init__(self, dataset, alpha: float, k: int, *, seed: int = 0):
+    def __init__(self, dataset, alpha: float, k: int, *, seed: int = 0,
+                 completion: str = "auto"):
         super().__init__(dataset, alpha, seed=seed)
         n = dataset.graph.n
         # Algo_Conf.set_conf_fora_topk (Algo_Conf.java:71-77)
@@ -186,6 +270,10 @@ class ForaTopk(PPRAlgorithm):
         self.min_delta = 1.0 / n
         self.delta0 = 1.0 / self.k
         self.pfail = 1.0 / n / n / math.log(max(n / self.k, math.e))
+        self.completion = completion
+        self.avg_rand_walk_time_ns, self.spmv_ns_per_edge_row = (
+            _default_cost_constants()
+        )
 
     def compute_topk_batch(self, sources: np.ndarray, k: int, param) -> np.ndarray:
         eps = float(param) * 0.5      # eps' = eps/2 (Fora_Topk.java:110)
@@ -211,16 +299,29 @@ class ForaTopk(PPRAlgorithm):
             )
 
             rsum_rw = float(np.asarray(r.sum(axis=-1)).mean()) * (1.0 - self.alpha)
-            num_walk = omega * rsum_rw
-            om = jnp.where(r > 0, jnp.ceil(r * num_walk), 0.0).astype(jnp.int32)
-            w = jnp.where(om > 0, r / jnp.maximum(om, 1).astype(jnp.float32), 0.0)
-            total = int(jnp.sum(om))
-            round_p = p
-            if total > 0:
-                cap = _pow2_bucket(total)
-                round_p = p + _walk_contrib(
-                    g, om, w, self.next_key(), self.alpha, cap, False
+            target = eps * delta
+            if self._use_spmv(omega, rsum_rw, target):
+                # deterministic completion of this round's residue (on copies:
+                # like the reference, round estimates are NOT folded back into
+                # the persistent push state, Fora_Topk.java:142-168)
+                round_p, _, _ = residual_propagate(
+                    g, p, r, src_onehot, jnp.float32(target), self.alpha
                 )
+            else:
+                num_walk = omega * rsum_rw
+                om = jnp.where(
+                    r > 0, jnp.ceil(r * num_walk), 0.0
+                ).astype(jnp.int32)
+                w = jnp.where(
+                    om > 0, r / jnp.maximum(om, 1).astype(jnp.float32), 0.0
+                )
+                total = int(jnp.sum(om))
+                round_p = p
+                if total > 0:
+                    cap = _pow2_bucket(total)
+                    round_p = p + _walk_contrib(
+                        g, om, w, self.next_key(), self.alpha, cap, False
+                    )
             result = round_p
 
             # termination (Fora_Topk.java:173-178): kth reserve >= (1+eps')*delta
@@ -233,6 +334,14 @@ class ForaTopk(PPRAlgorithm):
             g, sources_j, result, jnp.zeros_like(result), src_onehot
         )
         return np.asarray(result)
+
+    def _use_spmv(self, omega: float, rsum: float, target: float) -> bool:
+        if self.completion != "auto":
+            return self.completion == "spmv"
+        walk_cost = self.avg_rand_walk_time_ns * omega * rsum
+        iters = _completion_iters(rsum, target, self.alpha)
+        spmv_cost = iters * self.spmv_ns_per_edge_row * max(self.graph.m, 1)
+        return spmv_cost < walk_cost
 
     def compute_whole_graph_batch(self, sources, param):  # top-k only algo
         return self.compute_topk_batch(sources, self.k, param)

@@ -56,9 +56,11 @@ def test_forward_push_accuracy(got, oracle):
     assert prec > 0.95
 
 
-def test_fora_whole_graph_accuracy(got, oracle):
+@pytest.mark.parametrize("completion", ["walks", "spmv", "auto"])
+def test_fora_whole_graph_accuracy(got, oracle, completion):
     sources, oracle_rows = oracle
     fora = AlgoConf(ALPHA, seed=2).set_conf_fora_whole_graph(got)
+    fora.completion = completion
     scores = fora.compute_whole_graph_batch(sources, 0.5)
     err = np.mean([
         max_abs_err(scores[i], oracle_rows[i]) for i in range(len(sources))
@@ -69,9 +71,11 @@ def test_fora_whole_graph_accuracy(got, oracle):
     assert ndcg > 0.97
 
 
-def test_fora_topk_recall(got, oracle):
+@pytest.mark.parametrize("completion", ["walks", "spmv"])
+def test_fora_topk_recall(got, oracle, completion):
     sources, oracle_rows = oracle
     fora = AlgoConf(ALPHA, seed=3).set_conf_fora_topk(got, K)
+    fora.completion = completion
     scores = fora.compute_topk_batch(sources, K, 0.5)
     prec, ndcg = _mean_topk_metrics(scores, sources, oracle_rows)
     # BASELINE.json north star: recall@10 parity with FORA on GOT
