@@ -129,7 +129,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=65536)
     ap.add_argument("--deg", type=int, default=16)
-    ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--batch", type=int, default=256)
     ap.add_argument("--eps", type=float, default=0.5)
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--alpha", type=float, default=0.15)
