@@ -52,7 +52,7 @@ from ..ops.push import (
     forward_push_sweeps,
 )
 from ..ops.spmv import push_out
-from ..ops.walk import expand_walkers, random_walks
+from ..ops.walk import expand_walkers, weighted_walk_counts
 from .base import PPRAlgorithm, PreprocessingMixin
 
 
@@ -95,10 +95,10 @@ def _walk_contrib(
     slots, valid = expand_walkers(flat, cap)          # slot -> flat (row, node)
     rows = slots // n_pad
     starts = (slots % n_pad).astype(jnp.int32)
-    stops = random_walks(g, starts, key, alpha, no_zero_hop=no_zero_hop)
     w = weight_i.reshape(-1)[slots] * valid.astype(jnp.float32)
-    out = jnp.zeros((b, n_pad), jnp.float32)
-    return out.at[rows, stops].add(w)
+    return weighted_walk_counts(
+        g, starts, rows, w, key, alpha, num_rows=b, no_zero_hop=no_zero_hop
+    )
 
 
 @partial(jax.jit, static_argnames=("alpha", "max_iters"))

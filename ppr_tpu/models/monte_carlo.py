@@ -22,7 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..graph.csr import Graph
-from ..ops.walk import random_walks
+from ..ops.walk import weighted_walk_counts
 from .base import PPRAlgorithm, PreprocessingMixin
 
 
@@ -41,11 +41,11 @@ def mc_whole_graph_batch(
 ) -> jax.Array:
     b = sources.shape[0]
     starts = jnp.repeat(sources, omega)              # [B*omega]
-    stops = random_walks(g, starts, key, alpha)
     rows = jnp.repeat(jnp.arange(b, dtype=jnp.int32), omega)
-    counts = jnp.zeros((b, g.n_pad), jnp.float32)
-    counts = counts.at[rows, stops].add(1.0)
-    return counts / jnp.float32(omega)
+    weights = jnp.full(starts.shape, 1.0 / omega, jnp.float32)
+    return weighted_walk_counts(
+        g, starts, rows, weights, key, alpha, num_rows=b
+    )
 
 
 class MonteCarlo(PreprocessingMixin, PPRAlgorithm):
