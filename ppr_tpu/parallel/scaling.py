@@ -19,6 +19,31 @@ from ..graph.csr import Graph
 from .sharded import make_mesh, sharded_fora_step
 
 
+def main(argv=None) -> int:
+    """CLI: ``python -m ppr_tpu.parallel.scaling [--n N] [--deg D] [--devices 1,2,4]``."""
+    import argparse
+    import json
+
+    from ..graph.io import synthetic_powerlaw
+
+    ap = argparse.ArgumentParser(prog="ppr_tpu.parallel.scaling")
+    ap.add_argument("--n", type=int, default=16384)
+    ap.add_argument("--deg", type=int, default=8)
+    ap.add_argument("--devices", default=None,
+                    help="comma list, e.g. 1,2,4,8 (default: powers of two up "
+                         "to the device count)")
+    ap.add_argument("--iters", type=int, default=5)
+    args = ap.parse_args(argv)
+
+    ds = synthetic_powerlaw(args.n, args.deg, seed=3, dense_threshold=0)
+    counts = (
+        [int(x) for x in args.devices.split(",")] if args.devices else None
+    )
+    for row in scaling_sweep(ds.graph, counts, iters=args.iters):
+        print(json.dumps(row))
+    return 0
+
+
 def scaling_sweep(
     g: Graph,
     device_counts: list[int] | None = None,
@@ -59,3 +84,7 @@ def scaling_sweep(
             "efficiency": qps / (base_qps * nd),
         })
     return results
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
