@@ -56,17 +56,19 @@ from ..ops.walk import expand_walkers, weighted_walk_counts
 from .base import PPRAlgorithm, PreprocessingMixin
 
 
-def _default_cost_constants() -> tuple[float, float]:
-    """(walk_ns_per_walk, spmv_ns_per_edge_row) for the active backend.
+def _default_cost_constants() -> tuple[float, float, bool]:
+    """(walk_ns_per_walk, spmv_ns_per_edge, batch_amortized) per backend.
 
     The reference hard-codes 400 ns/walk for its JVM (Fora_Whole_Graph.java:35).
-    Measured on TPU v5e: ~2000 ns/walk amortized (random-gather bound) and
-    ~0.5 ns per edge-row for one propagation sweep (bandwidth bound)."""
+    Measured on TPU v5e: ~2000 ns/walk amortized (random-gather bound); one
+    propagation sweep costs ~12 ns per edge *per batch* — sparse ops are
+    index-rate-bound, so the cost is shared by every query row in the batch
+    (batch_amortized=True). On CPU each row pays its own ~4 ns/edge."""
     import jax
 
     if jax.default_backend() == "cpu":
-        return 400.0, 4.0
-    return 2000.0, 0.5
+        return 400.0, 4.0, False
+    return 2000.0, 12.0, True
 
 
 def _completion_iters(rsum: float, target: float, alpha: float) -> int:
@@ -177,9 +179,11 @@ class ForaWholeGraph(PreprocessingMixin, PPRAlgorithm):
         #: batched residue propagation — exact, TPU-fast), or "auto" (FORA's
         #: own cost model with per-backend calibrated constants)
         self.completion = completion
-        self.avg_rand_walk_time_ns, self.spmv_ns_per_edge_row = (
-            _default_cost_constants()
-        )
+        (
+            self.avg_rand_walk_time_ns,
+            self.spmv_ns_per_edge,
+            self.spmv_batch_amortized,
+        ) = _default_cost_constants()
         #: True replicates the reference exactly (a *fresh* push from r = e_s
         #: every round, Fora_Whole_Graph.java:94-100); False continues each
         #: round from the previous fixpoint — reaching an equivalent fixpoint
@@ -202,8 +206,12 @@ class ForaWholeGraph(PreprocessingMixin, PPRAlgorithm):
         push_ns = 0.0
         p = r = src_onehot = None
         rounds = 0
+        completion_target = eps * self.delta
         while (
-            push_ns < self.avg_rand_walk_time_ns * rsum_local * omega
+            push_ns < min(
+                self.avg_rand_walk_time_ns * rsum_local * omega,
+                self._spmv_completion_ns(rsum_local, completion_target, b),
+            )
             and rounds < self.max_push_rounds
         ):
             t0 = time.perf_counter_ns()
@@ -227,7 +235,7 @@ class ForaWholeGraph(PreprocessingMixin, PPRAlgorithm):
         # every pi >= delta.
         target = eps * self.delta
         rsum_now = float(np.asarray(r.sum(axis=-1)).max())
-        if self._use_spmv(omega, rsum_now, target):
+        if self._use_spmv(omega, rsum_now, target, b):
             p, r, _ = residual_propagate(
                 g, p, r, src_onehot, jnp.float32(target), self.alpha
             )
@@ -249,20 +257,27 @@ class ForaWholeGraph(PreprocessingMixin, PPRAlgorithm):
         )
         return np.asarray(p)
 
-    def _use_spmv(self, omega: float, rsum: float, target: float) -> bool:
+    def _spmv_completion_ns(self, rsum: float, target: float,
+                            batch: int) -> float:
+        """Estimated per-query cost of deterministic completion."""
+        iters = _completion_iters(rsum, target, self.alpha)
+        per_batch = iters * self.spmv_ns_per_edge * max(self.graph.m, 1)
+        return per_batch / max(batch, 1) if self.spmv_batch_amortized \
+            else per_batch
+
+    def _use_spmv(self, omega: float, rsum: float, target: float,
+                  batch: int = 1) -> bool:
         if self.completion != "auto":
             return self.completion == "spmv"
         walk_cost = self.avg_rand_walk_time_ns * omega * rsum
-        iters = _completion_iters(rsum, target, self.alpha)
-        spmv_cost = iters * self.spmv_ns_per_edge_row * max(self.graph.m, 1)
-        return spmv_cost < walk_cost
+        return self._spmv_completion_ns(rsum, target, batch) < walk_cost
 
 
 class ForaTopk(PPRAlgorithm):
     name = "FORA-Topk"
 
     def __init__(self, dataset, alpha: float, k: int, *, seed: int = 0,
-                 completion: str = "auto"):
+                 completion: str = "auto", push: str = "auto"):
         super().__init__(dataset, alpha, seed=seed)
         n = dataset.graph.n
         # Algo_Conf.set_conf_fora_topk (Algo_Conf.java:71-77)
@@ -271,9 +286,17 @@ class ForaTopk(PPRAlgorithm):
         self.delta0 = 1.0 / self.k
         self.pfail = 1.0 / n / n / math.log(max(n / self.k, math.e))
         self.completion = completion
-        self.avg_rand_walk_time_ns, self.spmv_ns_per_edge_row = (
-            _default_cost_constants()
-        )
+        #: push-phase strategy: "reference" (the incremental rmax-schedule
+        #: pushes of Fora_Topk.java:123-145), "none" (skip pushes — with SpMV
+        #: completion every sweep costs a full SpMV anyway, so annealed
+        #: incremental propagation alone is strictly cheaper on TPU), or
+        #: "auto" (skip pushes exactly when SpMV completion is selected).
+        self.push = push
+        (
+            self.avg_rand_walk_time_ns,
+            self.spmv_ns_per_edge,
+            self.spmv_batch_amortized,
+        ) = _default_cost_constants()
 
     def compute_topk_batch(self, sources: np.ndarray, k: int, param) -> np.ndarray:
         eps = float(param) * 0.5      # eps' = eps/2 (Fora_Topk.java:110)
@@ -288,6 +311,30 @@ class ForaTopk(PPRAlgorithm):
         delta = self.delta0
         result = p
 
+        omega0 = (eps + 2.0) * ln_term / eps / eps / delta
+        skip_push = self.push == "none" or (
+            self.push == "auto"
+            and self._use_spmv(omega0, 1.0, eps * delta, len(sources))
+        )
+        if skip_push:
+            # TPU-native serving path: annealed *incremental* deterministic
+            # propagation — the rounds share (p, r), each round just tightens
+            # the residual target to eps*delta and checks the same
+            # (1+eps')*delta stopping rule (Fora_Topk.java:173-178). Exact
+            # within the eps*delta truncation bound, no sampling variance.
+            while True:
+                p, r, _ = residual_propagate(
+                    g, p, r, src_onehot, jnp.float32(eps * delta), self.alpha
+                )
+                kth = np.asarray(_kth_over_support(p, k))
+                if np.all(kth >= (1.0 + eps) * delta) or delta <= self.min_delta:
+                    break
+                delta = max(self.min_delta, delta / 4.0)
+            result, _ = apply_dangling_source_shortcircuit(
+                g, sources_j, p, jnp.zeros_like(p), src_onehot
+            )
+            return np.asarray(result)
+
         while True:
             rmax = eps * math.sqrt(delta / 3.0 / m / ln_term)
             rmax *= math.sqrt(m * rmax) * 3.0     # reference schedule, Fora_Topk.java:133
@@ -300,7 +347,7 @@ class ForaTopk(PPRAlgorithm):
 
             rsum_rw = float(np.asarray(r.sum(axis=-1)).mean()) * (1.0 - self.alpha)
             target = eps * delta
-            if self._use_spmv(omega, rsum_rw, target):
+            if self._use_spmv(omega, rsum_rw, target, len(sources)):
                 # deterministic completion of this round's residue (on copies:
                 # like the reference, round estimates are NOT folded back into
                 # the persistent push state, Fora_Topk.java:142-168)
@@ -335,13 +382,20 @@ class ForaTopk(PPRAlgorithm):
         )
         return np.asarray(result)
 
-    def _use_spmv(self, omega: float, rsum: float, target: float) -> bool:
+    def _spmv_completion_ns(self, rsum: float, target: float,
+                            batch: int) -> float:
+        """Estimated per-query cost of deterministic completion."""
+        iters = _completion_iters(rsum, target, self.alpha)
+        per_batch = iters * self.spmv_ns_per_edge * max(self.graph.m, 1)
+        return per_batch / max(batch, 1) if self.spmv_batch_amortized \
+            else per_batch
+
+    def _use_spmv(self, omega: float, rsum: float, target: float,
+                  batch: int = 1) -> bool:
         if self.completion != "auto":
             return self.completion == "spmv"
         walk_cost = self.avg_rand_walk_time_ns * omega * rsum
-        iters = _completion_iters(rsum, target, self.alpha)
-        spmv_cost = iters * self.spmv_ns_per_edge_row * max(self.graph.m, 1)
-        return spmv_cost < walk_cost
+        return self._spmv_completion_ns(rsum, target, batch) < walk_cost
 
     def compute_whole_graph_batch(self, sources, param):  # top-k only algo
         return self.compute_topk_batch(sources, self.k, param)
