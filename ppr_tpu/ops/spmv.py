@@ -50,15 +50,20 @@ def push_out(g: Graph, a: jax.Array, *, backend: str | None = None) -> jax.Array
     if backend == "coo_sorted":
         # gather at source along the dst-sorted edge order, then a *sorted*
         # segmented reduction over destinations — avoids the serialized
-        # random scatter-add (padding edges sort to the sentinel node and are
-        # sliced off by construction: a[pad] * inv_deg[pad] = a[pad] * 0).
-        contrib = jnp.take(a * inv_deg, g.edge_src_bydst, axis=-1)
-        if contrib.ndim == 1:
+        # random scatter-add (padding edges sort to the sentinel node, which
+        # is never a real node, so a[pad] * inv_deg[pad] = 0).
+        scaled = a * inv_deg
+        if scaled.ndim == 1:
+            contrib = jnp.take(scaled, g.edge_src_bydst, axis=0)
             return jax.ops.segment_sum(
                 contrib, g.edge_dst_bydst, num_segments=g.n_pad,
                 indices_are_sorted=True,
             )
-        contrib_t = jnp.moveaxis(contrib, -1, 0)      # [m_pad, ...]
+        # transpose the small [.., n_pad] operand once, then row-gather
+        # straight into [m_pad, ..] layout — the big per-edge intermediate is
+        # materialized exactly once
+        scaled_t = jnp.moveaxis(scaled, -1, 0)        # [n_pad, ...]
+        contrib_t = jnp.take(scaled_t, g.edge_src_bydst, axis=0)
         out_t = jax.ops.segment_sum(
             contrib_t, g.edge_dst_bydst, num_segments=g.n_pad,
             indices_are_sorted=True,
@@ -83,14 +88,15 @@ def pull_out_norm(g: Graph, a: jax.Array, *, backend: str | None = None) -> jax.
         # the primary edge order is already src-sorted: gather at dst, sorted
         # segmented reduction over sources (padding edges are inert — the
         # sentinel node never carries residue)
-        contrib = jnp.take(a, g.edge_dst, axis=-1)
-        if contrib.ndim == 1:
+        if a.ndim == 1:
+            contrib = jnp.take(a, g.edge_dst, axis=0)
             out = jax.ops.segment_sum(
                 contrib, g.edge_src, num_segments=g.n_pad,
                 indices_are_sorted=True,
             )
             return out * inv_deg
-        contrib_t = jnp.moveaxis(contrib, -1, 0)
+        a_t = jnp.moveaxis(a, -1, 0)                  # [n_pad, ...]
+        contrib_t = jnp.take(a_t, g.edge_dst, axis=0)
         out_t = jax.ops.segment_sum(
             contrib_t, g.edge_src, num_segments=g.n_pad,
             indices_are_sorted=True,
