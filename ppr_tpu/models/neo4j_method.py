@@ -52,13 +52,25 @@ def personalized_pagerank_batch(
 class Neo4jMethod(PreprocessingMixin, PPRAlgorithm):
     name = "Neo4j-Method"
     prep_dirname = "Neo4j_Method_ppr_results"
+    use_pallas = True
 
     def compute_whole_graph_batch(self, sources: np.ndarray, param) -> np.ndarray:
+        from ..ops import pallas_dense
+
         iterations = int(param)
-        out = personalized_pagerank_batch(
-            self.graph,
-            jnp.asarray(sources, jnp.int32),
-            1.0 - self.alpha,    # Neo4j damping = 1 - alpha (Neo4j_Method.java:75)
-            iterations,
-        )
+        damping = 1.0 - self.alpha  # Neo4j damping = 1 - alpha (Neo4j_Method.java:75)
+        sources_j = jnp.asarray(sources, jnp.int32)
+        if self.use_pallas and pallas_dense.supports(self.graph):
+            onehot = jax.nn.one_hot(sources_j, self.graph.n_pad,
+                                    dtype=jnp.float32)
+            x = pallas_dense.dense_pagerank_iterations(
+                self.graph, onehot, damping, iterations,
+                interpret=jax.default_backend() == "cpu",
+            )
+            total = jnp.sum(x, axis=-1, keepdims=True)
+            out = jnp.where(total > 0, x / total, x)
+        else:
+            out = personalized_pagerank_batch(
+                self.graph, sources_j, damping, iterations
+            )
         return np.asarray(out)

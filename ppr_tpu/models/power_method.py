@@ -56,15 +56,27 @@ def power_method_batch(
 class PowerMethod(PPRAlgorithm):
     name = "Exact"
 
-    def __init__(self, dataset, alpha: float, *, iterations: int = 100, seed: int = 0):
+    def __init__(self, dataset, alpha: float, *, iterations: int = 100,
+                 seed: int = 0, use_pallas: bool = True):
         super().__init__(dataset, alpha, seed=seed)
         self.iterations = iterations
+        self.use_pallas = use_pallas
 
     def compute_whole_graph_batch(self, sources: np.ndarray, param=None) -> np.ndarray:
-        out = power_method_batch(
-            self.graph,
-            jnp.asarray(sources, jnp.int32),
-            self.alpha,
-            self.iterations,
-        )
+        from ..ops import pallas_dense
+
+        sources_j = jnp.asarray(sources, jnp.int32)
+        if self.use_pallas and pallas_dense.supports(self.graph):
+            # fused on-chip kernel: operator + batch state stay in VMEM for
+            # all iterations (ops/pallas_dense.py)
+            onehot = jax.nn.one_hot(sources_j, self.graph.n_pad,
+                                    dtype=jnp.float32)
+            out = pallas_dense.dense_power_iterations(
+                self.graph, onehot, self.alpha, self.iterations,
+                interpret=jax.default_backend() == "cpu",
+            )
+        else:
+            out = power_method_batch(
+                self.graph, sources_j, self.alpha, self.iterations
+            )
         return np.asarray(out)
