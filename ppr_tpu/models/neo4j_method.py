@@ -60,12 +60,12 @@ class Neo4jMethod(PreprocessingMixin, PPRAlgorithm):
         iterations = int(param)
         damping = 1.0 - self.alpha  # Neo4j damping = 1 - alpha (Neo4j_Method.java:75)
         sources_j = jnp.asarray(sources, jnp.int32)
-        if self.use_pallas and pallas_dense.supports(self.graph):
+        if (self.use_pallas and pallas_dense.supports(self.graph)
+                and jax.default_backend() != "cpu"):
             onehot = jax.nn.one_hot(sources_j, self.graph.n_pad,
                                     dtype=jnp.float32)
             x = pallas_dense.dense_pagerank_iterations(
-                self.graph, onehot, damping, iterations,
-                interpret=jax.default_backend() == "cpu",
+                self.graph, onehot, damping, iterations
             )
             total = jnp.sum(x, axis=-1, keepdims=True)
             out = jnp.where(total > 0, x / total, x)

@@ -66,14 +66,14 @@ class PowerMethod(PPRAlgorithm):
         from ..ops import pallas_dense
 
         sources_j = jnp.asarray(sources, jnp.int32)
-        if self.use_pallas and pallas_dense.supports(self.graph):
+        if (self.use_pallas and pallas_dense.supports(self.graph)
+                and jax.default_backend() != "cpu"):
             # fused on-chip kernel: operator + batch state stay in VMEM for
             # all iterations (ops/pallas_dense.py)
             onehot = jax.nn.one_hot(sources_j, self.graph.n_pad,
                                     dtype=jnp.float32)
             out = pallas_dense.dense_power_iterations(
-                self.graph, onehot, self.alpha, self.iterations,
-                interpret=jax.default_backend() == "cpu",
+                self.graph, onehot, self.alpha, self.iterations
             )
         else:
             out = power_method_batch(
