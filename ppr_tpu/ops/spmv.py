@@ -75,6 +75,47 @@ def push_out(g: Graph, a: jax.Array, *, backend: str | None = None) -> jax.Array
     return out.at[..., g.edge_dst].add(contrib)
 
 
+def push_out_chunked(
+    g: Graph, a: jax.Array, *, num_chunks: int = 16
+) -> jax.Array:
+    """``push_out`` with the edge dimension processed in ``num_chunks``
+    sequential chunks (lax.scan), bounding peak memory to
+    ``[m_pad/num_chunks, B]`` — for graphs where the full per-edge
+    intermediate would not fit HBM (tens of millions of edges at large B).
+    Edges are dst-sorted globally, hence also within each chunk, so every
+    chunk uses the sorted segmented reduction."""
+    inv_deg = _safe_inv_deg(g.out_deg)
+    scaled = a * inv_deg
+    squeeze = scaled.ndim == 1
+    if squeeze:
+        scaled = scaled[None, :]
+    scaled_t = jnp.moveaxis(scaled, -1, 0)            # [n_pad, B]
+
+    m_pad = g.m_pad
+    chunk = -(-m_pad // num_chunks)
+    pad = chunk * num_chunks - m_pad
+    # padding chunk entries point at the sentinel node (inert by construction)
+    src_chunks = jnp.pad(
+        g.edge_src_bydst, (0, pad), constant_values=g.n_pad - 1
+    ).reshape(num_chunks, chunk)
+    dst_chunks = jnp.pad(
+        g.edge_dst_bydst, (0, pad), constant_values=g.n_pad - 1
+    ).reshape(num_chunks, chunk)
+
+    def step(acc, chunks):
+        src_c, dst_c = chunks
+        contrib = jnp.take(scaled_t, src_c, axis=0)   # [chunk, B]
+        acc = acc + jax.ops.segment_sum(
+            contrib, dst_c, num_segments=g.n_pad, indices_are_sorted=True
+        )
+        return acc, None
+
+    init = jnp.zeros_like(scaled_t)
+    out_t, _ = jax.lax.scan(step, init, (src_chunks, dst_chunks))
+    out = jnp.moveaxis(out_t, 0, -1)
+    return out[0] if squeeze else out
+
+
 def pull_out_norm(g: Graph, a: jax.Array, *, backend: str | None = None) -> jax.Array:
     """``y[u] = (1/d_out(u)) * sum over edges u->v of a[v]`` (reverse push step)."""
     if backend is None:

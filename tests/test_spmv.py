@@ -50,3 +50,14 @@ def test_sentinel_is_padding(g):
     # n+1 rounding guarantees the sentinel node is never a real node
     assert g.n < g.n_pad
     assert np.asarray(g.node_mask)[g.n_pad - 1] == 0.0
+
+
+def test_push_out_chunked_matches(g, a):
+    from ppr_tpu.ops.spmv import push_out_chunked
+
+    dense = np.asarray(push_out(g, a, backend="dense"))
+    for nc in (1, 3, 16):
+        chunked = np.asarray(push_out_chunked(g, a, num_chunks=nc))
+        np.testing.assert_allclose(chunked, dense, atol=1e-4)
+    one = np.asarray(push_out_chunked(g, a[0], num_chunks=4))
+    np.testing.assert_allclose(one, dense[0], atol=1e-4)
