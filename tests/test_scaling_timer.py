@@ -27,3 +27,14 @@ def test_scaling_sweep_runs(got):
     for r in res:
         assert r["queries_per_sec"] > 0
         assert np.isfinite(r["efficiency"])
+
+
+def test_calibrate(got):
+    from ppr_tpu.models import AlgoConf
+    from ppr_tpu.utils import calibrate
+
+    consts = calibrate.measure(got.graph, walkers=2048, batch=4, reps=1)
+    assert consts[0] > 0 and consts[1] > 0
+    fora = AlgoConf(0.15).set_conf_fora_whole_graph(got)
+    calibrate.apply(fora, consts)
+    assert fora.avg_rand_walk_time_ns == consts[0]
