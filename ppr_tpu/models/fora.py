@@ -141,6 +141,63 @@ def residual_propagate(
     return p, r, iters
 
 
+@partial(jax.jit, static_argnames=("alpha", "k", "max_iters"))
+def annealed_topk_propagate(
+    g: Graph,
+    p: jax.Array,            # f32[B, n_pad]
+    r: jax.Array,            # f32[B, n_pad]
+    src_onehot: jax.Array,   # f32[B, n_pad]
+    eps: jax.Array,          # f32 scalar (eps' = eps/2 already applied)
+    delta0: float,
+    min_delta: float,
+    k: int,
+    alpha: float,
+    max_iters: int = 600,
+):
+    """The whole FORA top-k delta-annealing loop fused into one while_loop.
+
+    Per iteration: one propagation step. Whenever the residue settles below
+    the current round's target ``eps*delta`` (the same decision points as the
+    round-structured loop), the termination rule is evaluated — "k-th reserve
+    >= (1+eps')*delta" expressed as the equivalent cheap count
+    ``#{v: p_v >= (1+eps')*delta} >= k`` (Fora_Topk.java:173-176) — and
+    delta anneals by /4 (:178) until min_delta. Runs entirely on device:
+    no host synchronization, no per-round dispatch."""
+    alpha_f = jnp.float32(alpha)
+    is_dangling = (g.out_deg == 0) & (g.node_mask > 0)
+
+    def row_done(p_, delta):
+        thresh = (1.0 + eps) * delta
+        return jnp.sum((p_ >= thresh).astype(jnp.int32), axis=-1) >= k
+
+    def cond(state):
+        _, _, delta, finished, it = state
+        return (it < max_iters) & ~finished
+
+    def body(state):
+        p_, r_, delta, finished, it = state
+        p_ = p_ + alpha_f * r_
+        rem = (1.0 - alpha_f) * r_
+        rem_dang = jnp.where(is_dangling, rem, 0.0)
+        dang_mass = jnp.sum(rem_dang, axis=-1, keepdims=True)
+        r_ = push_out(g, rem - rem_dang) + dang_mass * src_onehot
+
+        settled = jnp.max(jnp.sum(r_, axis=-1)) <= eps * delta
+        done = settled & jnp.all(row_done(p_, delta))
+        at_floor = delta <= min_delta
+        finished = done | (settled & at_floor)
+        delta = jnp.where(
+            settled & ~finished, jnp.maximum(min_delta, delta / 4.0), delta
+        )
+        return p_, r_, delta, finished, it + 1
+
+    p, r, delta, _, iters = jax.lax.while_loop(
+        cond, body,
+        (p, r, jnp.float32(delta0), jnp.bool_(False), jnp.int32(0)),
+    )
+    return p, r, iters
+
+
 @partial(jax.jit, static_argnames=("k",))
 def _kth_over_support(p: jax.Array, k: int) -> jax.Array:
     """Per-row k-th largest positive value; 0.0 when support < k (the
@@ -317,19 +374,15 @@ class ForaTopk(PPRAlgorithm):
             and self._use_spmv(omega0, 1.0, eps * delta, len(sources))
         )
         if skip_push:
-            # TPU-native serving path: annealed *incremental* deterministic
-            # propagation — the rounds share (p, r), each round just tightens
-            # the residual target to eps*delta and checks the same
-            # (1+eps')*delta stopping rule (Fora_Topk.java:173-178). Exact
-            # within the eps*delta truncation bound, no sampling variance.
-            while True:
-                p, r, _ = residual_propagate(
-                    g, p, r, src_onehot, jnp.float32(eps * delta), self.alpha
-                )
-                kth = np.asarray(_kth_over_support(p, k))
-                if np.all(kth >= (1.0 + eps) * delta) or delta <= self.min_delta:
-                    break
-                delta = max(self.min_delta, delta / 4.0)
+            # TPU-native serving path: the whole annealed incremental
+            # propagation loop fused into one device while_loop (exact within
+            # the eps*delta truncation bound, no sampling variance, no host
+            # round-trips). Same decision points and stopping rule as the
+            # round-structured reference loop (Fora_Topk.java:123-179).
+            p, r, _ = annealed_topk_propagate(
+                g, p, r, src_onehot, jnp.float32(eps),
+                delta, self.min_delta, k, self.alpha,
+            )
             result, _ = apply_dangling_source_shortcircuit(
                 g, sources_j, p, jnp.zeros_like(p), src_onehot
             )
