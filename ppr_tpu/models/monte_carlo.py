@@ -31,18 +31,27 @@ def mc_num_walks(eps: float, delta: float, pfail: float) -> int:
     return int(math.ceil(3.0 * math.log(2.0 / pfail) / eps / eps / delta))
 
 
-@partial(jax.jit, static_argnames=("alpha", "omega"))
+@partial(jax.jit, static_argnames=("alpha", "w_pad"))
 def mc_whole_graph_batch(
     g: Graph,
     sources: jax.Array,     # int32[B]
     key: jax.Array,
     alpha: float,
-    omega: int,
+    omega: jax.Array,       # int32 scalar (dynamic: shared compiled program)
+    w_pad: int,
 ) -> jax.Array:
+    """B*omega walks; the walker pool is padded to ``w_pad`` (a power-of-two
+    bucket chosen by the caller) with zero-weight walkers, and ``omega`` is a
+    *traced* scalar — so every epsilon in a parameter sweep whose walker
+    total lands in the same bucket shares one compiled program (TPU compiles
+    are minutes through the remote-compile tunnel)."""
     b = sources.shape[0]
-    starts = jnp.repeat(sources, omega)              # [B*omega]
-    rows = jnp.repeat(jnp.arange(b, dtype=jnp.int32), omega)
-    weights = jnp.full(starts.shape, 1.0 / omega, jnp.float32)
+    omega = jnp.int32(omega)
+    slots = jnp.arange(w_pad, dtype=jnp.int32)
+    rows = jnp.minimum(slots // omega, b - 1)
+    starts = jnp.take(sources, rows)
+    valid = slots < b * omega
+    weights = jnp.where(valid, 1.0 / omega.astype(jnp.float32), 0.0)
     return weighted_walk_counts(
         g, starts, rows, weights, key, alpha, num_rows=b
     )
@@ -71,10 +80,13 @@ class MonteCarlo(PreprocessingMixin, PPRAlgorithm):
         outs = []
         for lo in range(0, len(sources), per_chunk):
             chunk = jnp.asarray(sources[lo:lo + per_chunk], jnp.int32)
+            total = int(chunk.shape[0]) * omega
+            w_pad = 1 << max(10, math.ceil(math.log2(total)))
             outs.append(
                 np.asarray(
                     mc_whole_graph_batch(
-                        self.graph, chunk, self.next_key(), self.alpha, omega
+                        self.graph, chunk, self.next_key(), self.alpha,
+                        omega, w_pad,
                     )
                 )
             )
