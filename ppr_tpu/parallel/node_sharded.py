@@ -1,0 +1,148 @@
+"""Node-sharded propagation: residue state partitioned across devices.
+
+The 1D partition in :mod:`ppr_tpu.parallel.sharded` shards *edges* and
+replicates node vectors — right for throughput, wrong once ``[B, n]`` state
+outgrows one device's HBM. This module shards the *node* dimension:
+
+* nodes are split into contiguous ranges of ``n_pad / S`` per device along
+  the ``graph`` mesh axis; each device stores ``r_local [B, n_local]`` and
+  owns every edge whose *destination* lies in its range (so the segment-sum
+  scatter is purely local);
+* one propagation iteration all-gathers the residue ring into the full
+  ``[B, n_pad]`` (the only collective), gathers at the global source ids of
+  the local edges, and reduces into local destinations;
+* dangling mass is psum'd and returned to each row's source as usual
+  (Power_Method.java:74-80 semantics).
+
+Edge partition by destination comes from the dst-sorted edge view already in
+the Graph (``edge_src_bydst``/``edge_dst_bydst``): device s takes the edge
+range whose dst falls in its node range (searchsorted on the sorted dst
+array), padded to the max per-device count with sentinel edges.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..graph.csr import Graph
+
+
+def partition_edges_by_dst(g: Graph, num_shards: int):
+    """Host-side: per-shard (src, dst_local) arrays padded to equal length.
+
+    Returns (src [S, E], dst_local [S, E], n_local) where padding entries
+    point at each shard's last local node with src = sentinel (inert: the
+    sentinel never carries residue)."""
+    if g.n_pad % num_shards:
+        raise ValueError(f"n_pad {g.n_pad} not divisible by {num_shards}")
+    n_local = g.n_pad // num_shards
+    dst_sorted = np.asarray(g.edge_dst_bydst)
+    src_sorted = np.asarray(g.edge_src_bydst)
+    bounds = np.searchsorted(
+        dst_sorted, np.arange(0, g.n_pad + 1, n_local)
+    )
+    counts = np.diff(bounds)
+    e_max = int(counts.max())
+    # pad to a lane multiple for clean tiling
+    e_max = max(128, ((e_max + 127) // 128) * 128)
+    src_out = np.full((num_shards, e_max), g.n_pad - 1, np.int32)
+    dst_out = np.zeros((num_shards, e_max), np.int32)
+    for s in range(num_shards):
+        lo, hi = bounds[s], bounds[s + 1]
+        cnt = hi - lo
+        src_out[s, :cnt] = src_sorted[lo:hi]
+        dst_out[s, :cnt] = dst_sorted[lo:hi] - s * n_local
+        dst_out[s, cnt:] = n_local - 1  # in-range dummy, src is the sentinel
+    return src_out, dst_out, n_local
+
+
+def make_node_sharded_propagate(mesh: Mesh, g: Graph, alpha: float):
+    """Returns (step_fn, prepare_fn) where step_fn advances (p_l, r_l) one
+    propagation iteration with node-sharded state.
+
+    ``prepare_fn(sources) -> (p_l, r_l, onehot_l)`` places the initial state
+    sharded over ('data' rows, 'graph' node ranges).
+    """
+    mesh_shape = dict(zip(mesh.axis_names, mesh.devices.shape))
+    s_graph = mesh_shape["graph"]
+    src_sh, dst_sh, n_local = partition_edges_by_dst(g, s_graph)
+
+    state_spec = NamedSharding(mesh, P("data", "graph"))
+    edge_spec = NamedSharding(mesh, P("graph", None))
+    rep = NamedSharding(mesh, P())
+
+    src_d = jax.device_put(jnp.asarray(src_sh), edge_spec)
+    dst_d = jax.device_put(jnp.asarray(dst_sh), edge_spec)
+    out_deg = jax.device_put(g.out_deg, rep)
+    node_mask = jax.device_put(g.node_mask, rep)
+
+    inv_deg_full = jnp.where(
+        g.out_deg > 0, 1.0 / jnp.maximum(g.out_deg.astype(jnp.float32), 1.0),
+        0.0,
+    )
+    inv_deg_full = jax.device_put(inv_deg_full, rep)
+    is_dangling_full = jax.device_put(
+        ((g.out_deg == 0) & (g.node_mask > 0)).astype(jnp.float32), rep
+    )
+
+    alpha_f = jnp.float32(alpha)
+
+    def local_step(src_e, dst_e, inv_deg, dangling, p_l, r_l, onehot_l):
+        # src_e/dst_e: [1, E] local edge chunk; p_l/r_l: [B_l, n_local]
+        p_l = p_l + alpha_f * r_l
+        rem = (1.0 - alpha_f) * r_l
+
+        # full residue ring: all-gather along the graph axis -> [B_l, n_pad]
+        rem_full = jax.lax.all_gather(rem, "graph", axis=1, tiled=True)
+
+        # dangling mass: sum of the full remainder over dangling nodes
+        dang_mass = jnp.sum(
+            rem_full * dangling[None, :], axis=-1, keepdims=True
+        )
+
+        scaled = rem_full * inv_deg[None, :]
+        contrib = jnp.take(scaled, src_e[0], axis=-1)       # [B_l, E]
+        # local dsts are sorted (dst-sorted global order restricted to the
+        # shard; padding dummies sort to the end) -> sorted segment reduction
+        n_local_ = r_l.shape[-1]
+        r_new_t = jax.ops.segment_sum(
+            jnp.moveaxis(contrib, -1, 0), dst_e[0],
+            num_segments=n_local_, indices_are_sorted=True,
+        )
+        r_new = jnp.moveaxis(r_new_t, 0, -1) + dang_mass * onehot_l
+        return p_l, r_new
+
+    mapped = jax.shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(
+            P("graph", None), P("graph", None),      # edges
+            P(), P(),                                # inv_deg, dangling
+            P("data", "graph"), P("data", "graph"),  # p, r
+            P("data", "graph"),                      # source one-hot
+        ),
+        out_specs=(P("data", "graph"), P("data", "graph")),
+        check_vma=False,
+    )
+    step = jax.jit(
+        lambda p_l, r_l, onehot_l: mapped(
+            src_d, dst_d, inv_deg_full, is_dangling_full, p_l, r_l, onehot_l
+        )
+    )
+
+    def prepare(sources):
+        sources = jnp.asarray(sources, jnp.int32)
+        onehot = jax.nn.one_hot(sources, g.n_pad, dtype=jnp.float32)
+        p = jnp.zeros_like(onehot)
+        return (
+            jax.device_put(p, state_spec),
+            jax.device_put(onehot, state_spec),
+            jax.device_put(onehot, state_spec),
+        )
+
+    return step, prepare

@@ -1,0 +1,52 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+ALPHA = 0.15
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    from ppr_tpu.parallel.sharded import make_mesh
+
+    return make_mesh(8, data=2, graph=4)
+
+
+def test_node_sharded_propagate_matches_power_method(got, mesh8):
+    from ppr_tpu.models.power_method import power_method_batch
+    from ppr_tpu.parallel.node_sharded import make_node_sharded_propagate
+
+    g = got.graph
+    assert g.n_pad % 4 == 0
+    step, prepare = make_node_sharded_propagate(mesh8, g, ALPHA)
+    sources = np.array([3, 11, 42, 64])
+    p, r, onehot = prepare(sources)
+    for _ in range(60):
+        p, r = step(p, r, onehot)
+
+    ref = np.asarray(
+        power_method_batch(g, jnp.asarray(sources, jnp.int32), ALPHA, 60)
+    )
+    np.testing.assert_allclose(np.asarray(p), ref, atol=1e-5)
+    # state really is sharded over the node dimension
+    shard_shapes = {s.data.shape for s in p.addressable_shards}
+    assert shard_shapes == {(2, g.n_pad // 4)}
+
+
+def test_edge_partition_by_dst(got):
+    from ppr_tpu.parallel.node_sharded import partition_edges_by_dst
+
+    g = got.graph
+    src_sh, dst_sh, n_local = partition_edges_by_dst(g, 4)
+    assert src_sh.shape == dst_sh.shape
+    assert n_local * 4 == g.n_pad
+    # every real edge appears exactly once in the right shard
+    total_real = (src_sh != g.n_pad - 1).sum()
+    assert total_real == g.m
+    for s in range(4):
+        real = src_sh[s] != g.n_pad - 1
+        assert (dst_sh[s][real] >= 0).all()
+        assert (dst_sh[s][real] < n_local).all()
+        # local dsts sorted for the sorted segment reduction
+        assert (np.diff(dst_sh[s]) >= 0).all()
