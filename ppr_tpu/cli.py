@@ -51,6 +51,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="sweep spec name (got/blogcatalog/flickr/grqc/amazon)")
     p.add_argument("--out-dir", default=".",
                    help="where <dataset>_AlgoPerfResults.txt is written")
+    p.add_argument("--fora-completion", default="auto",
+                   choices=["auto", "walks", "spmv"],
+                   help="FORA residual completion strategy (auto = cost model)")
+    p.add_argument("--trace-dir", default=None,
+                   help="write a jax.profiler trace of the batch test here")
     return p
 
 
@@ -90,12 +95,33 @@ def main(argv=None) -> int:
     harness = PerfHarness(
         dataset, alpha=args.alpha, seed=args.seed,
         out_dir=args.out_dir, batched=not args.sequential,
+        fora_completion=args.fora_completion,
     )
+
+    # lifecycle hook parity (the reference registers a JVM shutdown hook that
+    # closes the DB, PPR.java:35-50): on interruption, report where the
+    # append-only results file and any resumable preprocessing stores stand.
+    import atexit
+
+    done = {"ok": False}
+
+    def _shutdown_note():
+        if not done["ok"]:
+            print(f"Interrupted — partial results in {harness.writer.path}; "
+                  "preprocessing stores resume from their last completed "
+                  "shard on the next run.")
+
+    atexit.register(_shutdown_note)
+
+    from .utils.timer import trace
+
     try:
-        harness.algo_perf_batch_test(args.query, args.k)
+        with trace(args.trace_dir):
+            harness.algo_perf_batch_test(args.query, args.k)
     except Exception as e:  # PPR.java:196-199 prints and exits
         print(f"Algo performance batch test failed! ({e})")
         raise
+    done["ok"] = True
     print(f"Results appended to {harness.writer.path}")
     return 0
 

@@ -149,7 +149,9 @@ class PerfResult:
 class PerfHarness:
     def __init__(self, dataset: Dataset, alpha: float = 0.15, *, seed: int = 0,
                  out_dir: str = ".", batched: bool = True,
-                 progress: bool = True, warmup: bool = True):
+                 progress: bool = True, warmup: bool = True,
+                 fora_completion: str = "auto"):
+        self.fora_completion = fora_completion
         self.dataset = dataset
         self.alpha = alpha
         self.seed = seed
@@ -187,6 +189,8 @@ class PerfHarness:
     ) -> PerfResult:
         conf = AlgoConf(self.alpha, seed=self.seed)
         algo = conf.new_algo_obj(algo_type, self.dataset, k)
+        if hasattr(algo, "completion"):
+            algo.completion = self.fora_completion
         sources = self.get_query_nodes(query_num)
         oracle_rows = self._oracle_rows(sources)
         report = progress_printer(query_num, enabled=self.progress)
