@@ -81,6 +81,17 @@ class Graph:
     n: int = dataclasses.field(metadata=dict(static=True))
     m: int = dataclasses.field(metadata=dict(static=True))
 
+    # --- optional weighted-edge extension (None for uniform graphs) ---
+    # normalized per-edge coefficient w_e / W_src in each edge order, and
+    # alias tables (CSR slot layout) for O(1) weighted neighbor sampling.
+    # The reference supports only unweighted graphs; this is net-new
+    # capability (SURVEY.md notes alias tables become necessary "if weighted
+    # edges are ever added").
+    edge_coef: jax.Array | None = None         # f32[m_pad], src-sorted order
+    edge_coef_bydst: jax.Array | None = None   # f32[m_pad], dst-sorted order
+    alias_prob: jax.Array | None = None        # f32[m_pad]
+    alias_other: jax.Array | None = None       # int32[m_pad] (global slot)
+
     @property
     def n_pad(self) -> int:
         return int(self.out_deg.shape[0])
@@ -93,12 +104,17 @@ class Graph:
     def has_dense(self) -> bool:
         return self.dense_out is not None
 
+    @property
+    def weighted(self) -> bool:
+        return self.edge_coef is not None
+
 
 def build_graph(
     src: np.ndarray,
     dst: np.ndarray,
     n: int,
     *,
+    weights: np.ndarray | None = None,
     dense_threshold: int = 4096,
     node_align: int = LANES,
     edge_align: int = LANES,
@@ -117,6 +133,12 @@ def build_graph(
     dst = np.asarray(dst, dtype=np.int64)
     if src.shape != dst.shape:
         raise ValueError(f"src/dst shape mismatch: {src.shape} vs {dst.shape}")
+    if weights is not None:
+        weights = np.asarray(weights, np.float64)
+        if weights.shape != src.shape:
+            raise ValueError("weights shape mismatch")
+        if (weights <= 0).any():
+            raise ValueError("edge weights must be strictly positive")
     m = int(src.shape[0])
     if m and (src.min() < 0 or src.max() >= n or dst.min() < 0 or dst.max() >= n):
         raise ValueError("edge endpoint out of range")
@@ -131,15 +153,18 @@ def build_graph(
     # dependency-free fallback with identical layout.
     from ..native import build_csr_native
 
-    native = build_csr_native(src, dst, n, n_pad) if m else None
+    native = build_csr_native(src, dst, n, n_pad) if (m and weights is None) \
+        else None
     if native is not None:
         indptr, indices_m, src_s, out_deg, in_deg = native
         dst_s = indices_m.astype(np.int64)
         src_s = src_s.astype(np.int64)
+        w_s = None
     else:
         order = np.argsort(src, kind="stable")
         src_s = src[order]
         dst_s = dst[order]
+        w_s = weights[order] if weights is not None else None
         out_deg = np.bincount(src_s, minlength=n_pad).astype(np.int32)
         in_deg = np.bincount(dst_s, minlength=n_pad).astype(np.int32)
         indptr = np.zeros(n_pad + 1, dtype=np.int64)
@@ -168,12 +193,34 @@ def build_graph(
     node_mask = np.zeros(n_pad, dtype=np.float32)
     node_mask[:n] = 1.0
 
+    # per-edge normalized coefficients + alias tables (weighted graphs only)
+    edge_coef = edge_coef_bydst = alias_prob = alias_other = None
+    if weights is not None and m:
+        w_sum = np.zeros(n_pad, np.float64)
+        np.add.at(w_sum, src_s, w_s)
+        coef = w_s / w_sum[src_s]
+        edge_coef = np.zeros(m_pad, np.float32)
+        edge_coef[:m] = coef
+        edge_coef_bydst = np.zeros(m_pad, np.float32)
+        edge_coef_bydst[:m] = coef[order_d]
+        prob_np, other_np = _build_alias_tables(
+            indptr, coef, m, m_pad
+        )
+        alias_prob, alias_other = jnp.asarray(prob_np), jnp.asarray(other_np)
+        edge_coef = jnp.asarray(edge_coef)
+        edge_coef_bydst = jnp.asarray(edge_coef_bydst)
+
     dense_out = None
     if n_pad <= dense_threshold:
         dense_np = np.zeros((n_pad, n_pad), dtype=np.float32)
         if m:
-            inv_deg = 1.0 / out_deg[src_s].astype(np.float64)
-            np.add.at(dense_np, (src_s, dst_s), inv_deg)
+            if weights is not None:
+                w_sum = np.zeros(n_pad, np.float64)
+                np.add.at(w_sum, src_s, w_s)
+                np.add.at(dense_np, (src_s, dst_s), w_s / w_sum[src_s])
+            else:
+                inv_deg = 1.0 / out_deg[src_s].astype(np.float64)
+                np.add.at(dense_np, (src_s, dst_s), inv_deg)
         dense_out = jnp.asarray(dense_np)
 
     return Graph(
@@ -190,7 +237,40 @@ def build_graph(
         dense_out=dense_out,
         n=n,
         m=m,
+        edge_coef=edge_coef,
+        edge_coef_bydst=edge_coef_bydst,
+        alias_prob=alias_prob,
+        alias_other=alias_other,
     )
+
+
+def _build_alias_tables(indptr, coef, m, m_pad):
+    """Walker's alias method per CSR segment: slot j of node v keeps its own
+    target with probability ``prob[j]``, else redirects to slot
+    ``other[j]``. O(d) construction per node."""
+    prob = np.ones(m_pad, np.float32)
+    other = np.arange(m_pad, dtype=np.int32)
+    indptr = np.asarray(indptr)
+    for v in range(len(indptr) - 1):
+        lo, hi = int(indptr[v]), int(indptr[v + 1])
+        d = hi - lo
+        if d <= 1:
+            continue
+        q = coef[lo:hi].astype(np.float64) * d
+        small = [j for j in range(d) if q[j] < 1.0]
+        large = [j for j in range(d) if q[j] >= 1.0]
+        q = q.copy()
+        while small and large:
+            s_j = small.pop()
+            l_j = large.pop()
+            prob[lo + s_j] = q[s_j]
+            other[lo + s_j] = lo + l_j
+            q[l_j] = q[l_j] - (1.0 - q[s_j])
+            (small if q[l_j] < 1.0 else large).append(l_j)
+        for j in small + large:
+            prob[lo + j] = 1.0
+            other[lo + j] = lo + j
+    return prob, other
 
 
 def graph_from_scipy(mat, **kwargs) -> Graph:

@@ -99,30 +99,37 @@ def load_edge_list(
     name: str | None = None,
     comment: str = "#",
     dense_threshold: int = 4096,
+    weighted: bool = False,
 ) -> Dataset:
-    """Load a whitespace-separated ``src dst`` edge list (SNAP style).
+    """Load a whitespace-separated ``src dst [weight]`` edge list (SNAP style).
 
     Ids are densely remapped in first-appearance order. Parsing goes through
     the native C++ reader when available (ppr_tpu/native), with a pure-python
-    fallback."""
+    fallback. ``weighted=True`` reads a third column of positive edge weights
+    (python path only)."""
     from ..native import parse_edge_list_native
 
+    weights = None
     cap = max(os.path.getsize(path) // 3 + 16, 1024)
-    parsed = parse_edge_list_native(path, cap)
+    parsed = None if weighted else parse_edge_list_native(path, cap)
     if parsed is not None:
         raw_src, raw_dst = parsed
     else:
-        src_l, dst_l = [], []
+        src_l, dst_l, w_l = [], [], []
         with open(path, encoding="utf-8") as f:
             for line in f:
                 line = line.strip()
                 if not line or line.startswith(comment):
                     continue
-                a, b = line.split()[:2]
-                src_l.append(int(a))
-                dst_l.append(int(b))
+                parts = line.split()
+                src_l.append(int(parts[0]))
+                dst_l.append(int(parts[1]))
+                if weighted:
+                    w_l.append(float(parts[2]) if len(parts) > 2 else 1.0)
         raw_src = np.asarray(src_l, np.int64)
         raw_dst = np.asarray(dst_l, np.int64)
+        if weighted:
+            weights = np.asarray(w_l, np.float64)
 
     # dense remap in first-appearance order (matches the reference's
     # mapped-id behaviour of assigning ids as nodes are first seen)
@@ -138,7 +145,8 @@ def load_edge_list(
     dst = lookup[raw_dst]
     n = uniq_in_order.size
 
-    graph = build_graph(src, dst, n=n, dense_threshold=dense_threshold)
+    graph = build_graph(src, dst, n=n, weights=weights,
+                        dense_threshold=dense_threshold)
     if name is None:
         name = os.path.splitext(os.path.basename(path))[0]
     names = [str(int(orig)) for orig in uniq_in_order]
@@ -196,6 +204,24 @@ def synthetic_powerlaw(
         names=[str(i) for i in range(n)],
         name=name or f"synth_{n}_{seed}",
     )
+
+
+def synthetic_weighted(n: int, avg_deg: int = 8, *, seed: int = 0,
+                       name: str | None = None,
+                       dense_threshold: int = 4096) -> Dataset:
+    """Seeded weighted synthetic graph (log-normal edge weights)."""
+    rng = np.random.default_rng(seed)
+    base = synthetic_powerlaw(
+        n, avg_deg, seed=seed, dense_threshold=10**9  # rebuild below
+    )
+    g = base.graph
+    src = np.asarray(g.edge_src)[: g.m].astype(np.int64)
+    dst = np.asarray(g.edge_dst)[: g.m].astype(np.int64)
+    w = rng.lognormal(0.0, 1.0, size=g.m)
+    graph = build_graph(src, dst, n=n, weights=w,
+                        dense_threshold=dense_threshold)
+    return Dataset(graph=graph, names=base.names,
+                   name=name or f"wsynth_{n}_{seed}")
 
 
 def load_default(prefer_got: bool = True, **kwargs) -> Dataset:

@@ -52,9 +52,12 @@ def push_out(g: Graph, a: jax.Array, *, backend: str | None = None) -> jax.Array
         # segmented reduction over destinations — avoids the serialized
         # random scatter-add (padding edges sort to the sentinel node, which
         # is never a real node, so a[pad] * inv_deg[pad] = 0).
-        scaled = a * inv_deg
+        # Weighted graphs scale per *edge* (w_e / W_src) instead of per node.
+        scaled = a if g.weighted else a * inv_deg
         if scaled.ndim == 1:
             contrib = jnp.take(scaled, g.edge_src_bydst, axis=0)
+            if g.weighted:
+                contrib = contrib * g.edge_coef_bydst
             return jax.ops.segment_sum(
                 contrib, g.edge_dst_bydst, num_segments=g.n_pad,
                 indices_are_sorted=True,
@@ -64,13 +67,18 @@ def push_out(g: Graph, a: jax.Array, *, backend: str | None = None) -> jax.Array
         # materialized exactly once
         scaled_t = jnp.moveaxis(scaled, -1, 0)        # [n_pad, ...]
         contrib_t = jnp.take(scaled_t, g.edge_src_bydst, axis=0)
+        if g.weighted:
+            contrib_t = contrib_t * g.edge_coef_bydst[:, None]
         out_t = jax.ops.segment_sum(
             contrib_t, g.edge_dst_bydst, num_segments=g.n_pad,
             indices_are_sorted=True,
         )
         return jnp.moveaxis(out_t, 0, -1)
     # coo: per-edge contribution gathered at source, scattered to destination
-    contrib = jnp.take(a * inv_deg, g.edge_src, axis=-1) * g.edge_mask
+    if g.weighted:
+        contrib = jnp.take(a, g.edge_src, axis=-1) * g.edge_coef * g.edge_mask
+    else:
+        contrib = jnp.take(a * inv_deg, g.edge_src, axis=-1) * g.edge_mask
     out = jnp.zeros_like(a)
     return out.at[..., g.edge_dst].add(contrib)
 
@@ -128,23 +136,33 @@ def pull_out_norm(g: Graph, a: jax.Array, *, backend: str | None = None) -> jax.
     if backend == "coo_sorted":
         # the primary edge order is already src-sorted: gather at dst, sorted
         # segmented reduction over sources (padding edges are inert — the
-        # sentinel node never carries residue)
+        # sentinel node never carries residue). Weighted: per-edge coef
+        # w_uv/W_u replaces the 1/d_u node scaling.
         if a.ndim == 1:
             contrib = jnp.take(a, g.edge_dst, axis=0)
+            if g.weighted:
+                contrib = contrib * g.edge_coef
             out = jax.ops.segment_sum(
                 contrib, g.edge_src, num_segments=g.n_pad,
                 indices_are_sorted=True,
             )
-            return out * inv_deg
+            return out if g.weighted else out * inv_deg
         a_t = jnp.moveaxis(a, -1, 0)                  # [n_pad, ...]
         contrib_t = jnp.take(a_t, g.edge_dst, axis=0)
+        if g.weighted:
+            contrib_t = contrib_t * g.edge_coef[:, None]
         out_t = jax.ops.segment_sum(
             contrib_t, g.edge_src, num_segments=g.n_pad,
             indices_are_sorted=True,
         )
-        return jnp.moveaxis(out_t, 0, -1) * inv_deg
+        out = jnp.moveaxis(out_t, 0, -1)
+        return out if g.weighted else out * inv_deg
     # coo: gather residue at edge destination, scatter to edge source / d_out(src)
     contrib = jnp.take(a, g.edge_dst, axis=-1) * g.edge_mask
+    if g.weighted:
+        contrib = contrib * g.edge_coef
+        out = jnp.zeros_like(a)
+        return out.at[..., g.edge_src].add(contrib)
     out = jnp.zeros_like(a)
     out = out.at[..., g.edge_src].add(contrib)
     return out * inv_deg

@@ -44,12 +44,23 @@ def default_max_steps(alpha: float, tail: float = 1e-9) -> int:
     return max(8, int(math.ceil(math.log(tail) / math.log1p(-alpha))))
 
 
-def _uniform_neighbor(g: Graph, cur: jax.Array, u: jax.Array, starts: jax.Array):
-    """Next node for each walker: uniform out-neighbor, or start if dangling."""
+def _uniform_neighbor(g: Graph, cur: jax.Array, u: jax.Array, starts: jax.Array,
+                      u2: jax.Array | None = None):
+    """Next node for each walker: uniform (or alias-table weighted)
+    out-neighbor, or start if dangling.
+
+    Weighted graphs use Walker's alias method: the uniform draw picks a CSR
+    slot, and a second uniform accepts the slot's own target with
+    ``alias_prob[slot]`` or redirects to ``alias_other[slot]`` — O(1) exact
+    weighted sampling per step (the "alias-table walk kernel")."""
     deg = jnp.take(g.out_deg, cur)
     # floor(u * d) clamped to d-1 guards the u ~= 1.0 edge case
     pick = jnp.minimum((u * deg.astype(jnp.float32)).astype(jnp.int32), deg - 1)
     idx = jnp.take(g.indptr, cur) + jnp.maximum(pick, 0)
+    if g.alias_prob is not None:
+        assert u2 is not None, "weighted sampling needs a second uniform"
+        accept = u2 < jnp.take(g.alias_prob, idx)
+        idx = jnp.where(accept, idx, jnp.take(g.alias_other, idx))
     nxt = jnp.take(g.indices, idx)
     return jnp.where(deg > 0, nxt, starts)
 
@@ -69,11 +80,16 @@ def random_walks(
         max_steps = default_max_steps(alpha)
     w = starts.shape[0]
 
+    weighted = g.alias_prob is not None
     cur = starts
     if no_zero_hop:
         key, sub = jax.random.split(key)
         u = jax.random.uniform(sub, (w,))
-        cur = _uniform_neighbor(g, cur, u, starts)
+        u2 = None
+        if weighted:
+            key, sub2 = jax.random.split(key)
+            u2 = jax.random.uniform(sub2, (w,))
+        cur = _uniform_neighbor(g, cur, u, starts, u2)
 
     def cond(state):
         _, active, _, step = state
@@ -89,7 +105,11 @@ def random_walks(
         u = jax.random.uniform(k_u, (w,))
         stop_now = u < alpha
         u_move = (u - alpha) * (1.0 / (1.0 - alpha))
-        nxt = _uniform_neighbor(g, cur_, u_move, starts)
+        u2 = None
+        if weighted:
+            key_, k_u2 = jax.random.split(key_)
+            u2 = jax.random.uniform(k_u2, (w,))
+        nxt = _uniform_neighbor(g, cur_, u_move, starts, u2)
         moved = jnp.where(active & ~stop_now, nxt, cur_)
         return moved, active & ~stop_now, key_, step + 1
 
@@ -149,11 +169,16 @@ def weighted_walk_counts(
 
     counts = jnp.zeros((num_rows, g.n_pad), jnp.float32)
 
+    weighted = g.alias_prob is not None
     cur = starts
     if no_zero_hop:
         key, sub = jax.random.split(key)
         u = jax.random.uniform(sub, (w,))
-        cur = _uniform_neighbor(g, cur, u, starts)
+        u2 = None
+        if weighted:
+            key, sub2 = jax.random.split(key)
+            u2 = jax.random.uniform(sub2, (w,))
+        cur = _uniform_neighbor(g, cur, u, starts, u2)
 
     def run_phase(cur, active, starts_, key_, steps):
         def cond(state):
@@ -166,7 +191,11 @@ def weighted_walk_counts(
             u = jax.random.uniform(k_u, c.shape)
             stop_now = u < alpha
             u_move = (u - alpha) * (1.0 / (1.0 - alpha))
-            nxt = _uniform_neighbor(g, c, u_move, starts_)
+            u2 = None
+            if weighted:
+                k_, k_u2 = jax.random.split(k_)
+                u2 = jax.random.uniform(k_u2, c.shape)
+            nxt = _uniform_neighbor(g, c, u_move, starts_, u2)
             c = jnp.where(a & ~stop_now, nxt, c)
             return c, a & ~stop_now, k_, step + 1
 
