@@ -261,7 +261,8 @@ class ForaWholeGraph(PreprocessingMixin, PPRAlgorithm):
         # --- part 1: adaptive fresh pushes (Fora_Whole_Graph.java:93-103) ---
         rsum_local = 1.0
         push_ns = 0.0
-        p = r = src_onehot = None
+        p, r, src_onehot = forward_push_init(g, sources_j)
+        first = True
         rounds = 0
         completion_target = eps * self.delta
         while (
@@ -272,10 +273,11 @@ class ForaWholeGraph(PreprocessingMixin, PPRAlgorithm):
             and rounds < self.max_push_rounds
         ):
             t0 = time.perf_counter_ns()
-            if p is None or self.fresh_rounds:
-                p0, r0, src_onehot = forward_push_init(g, sources_j)
-            else:
+            if first or not self.fresh_rounds:
                 p0, r0 = p, r
+            else:
+                p0, r0, src_onehot = forward_push_init(g, sources_j)
+            first = False
             p, r, _ = forward_push_sweeps(
                 g, p0, r0, src_onehot, jnp.float32(rmax), self.alpha
             )
