@@ -38,8 +38,19 @@ _ROW_TILE = 8
 _VMEM_OPERATOR_LIMIT = 1024  # n_pad above this exceeds the VMEM budget in f32
 
 
+def enabled() -> bool:
+    """Mosaic kernels are opt-in (PPR_TPU_PALLAS=1): the current remote
+    compile service for this TPU frequently stalls on Mosaic programs (5+
+    minutes or hangs), so the default execution path is pure XLA. The kernels
+    stay correctness-tested in interpreter mode (tests/test_pallas_dense.py)
+    and are production-ready where Mosaic compiles locally."""
+    import os
+
+    return os.environ.get("PPR_TPU_PALLAS", "0") == "1"
+
+
 def supports(g: Graph) -> bool:
-    return g.has_dense and g.n_pad <= _VMEM_OPERATOR_LIMIT
+    return enabled() and g.has_dense and g.n_pad <= _VMEM_OPERATOR_LIMIT
 
 
 def _ppr_kernel(iters: int, alpha: float, dangling_to_source: bool):

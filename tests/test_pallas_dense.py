@@ -7,10 +7,11 @@ import numpy as np
 ALPHA = 0.15
 
 
-def test_fused_power_iterations_match_power_method(got):
+def test_fused_power_iterations_match_power_method(got, monkeypatch):
     from ppr_tpu.models.power_method import power_method_batch
     from ppr_tpu.ops.pallas_dense import dense_power_iterations, supports
 
+    monkeypatch.setenv("PPR_TPU_PALLAS", "1")
     g = got.graph
     assert supports(g)
     sources = jnp.asarray([0, 5, 17, 50, 99], jnp.int32)
