@@ -68,6 +68,12 @@ def make_node_sharded_propagate(mesh: Mesh, g: Graph, alpha: float):
     ``prepare_fn(sources) -> (p_l, r_l, onehot_l)`` places the initial state
     sharded over ('data' rows, 'graph' node ranges).
     """
+    if g.weighted:
+        raise NotImplementedError(
+            "node-sharded propagation currently supports uniform graphs "
+            "(weighted per-edge coefficients need a coef shard per edge "
+            "partition — planned)"
+        )
     mesh_shape = dict(zip(mesh.axis_names, mesh.devices.shape))
     s_graph = mesh_shape["graph"]
     src_sh, dst_sh, n_local = partition_edges_by_dst(g, s_graph)
