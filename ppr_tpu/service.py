@@ -1,0 +1,76 @@
+"""High-level PPR retrieval service — the user-facing serving API.
+
+The reference is a batch benchmark driven from one main() (PPR.java:154);
+this wraps the engine into the retrieval-service shape a production user
+wants: load a graph once, then answer batched top-k / whole-graph PPR
+queries, optionally against a precomputed all-pair store.
+
+    svc = PPRService.from_dataset(load_got(), alpha=0.15)
+    hits = svc.top_k([3, 14, 50], k=10)      # list of [(node, score, name)]
+    dense = svc.whole_graph([3])             # np.ndarray [B, n]
+
+Algorithm selection mirrors the engine defaults: the FORA top-k serving
+path (annealed deterministic propagation on TPU) for top-k, FORA
+whole-graph for dense scores; ``algorithm=`` overrides with any AlgoType.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from .graph.io import Dataset
+from .models import AlgoConf, AlgoType
+from .ops.topk import topk_ids_with_ties
+
+
+@dataclasses.dataclass
+class TopKHit:
+    node: int
+    score: float
+    name: str
+
+
+class PPRService:
+    def __init__(self, dataset: Dataset, alpha: float = 0.15, *,
+                 eps: float = 0.5, k: int = 10, seed: int = 0,
+                 algorithm: AlgoType = AlgoType.FORA_TOPK):
+        self.dataset = dataset
+        self.eps = eps
+        self.k = k
+        conf = AlgoConf(alpha, seed=seed)
+        self._topk_algo = conf.new_algo_obj(algorithm, dataset, k)
+        self._wg_algo = conf.new_algo_obj(
+            AlgoType.FORA_WHOLE_GRAPH
+            if algorithm == AlgoType.FORA_TOPK else algorithm,
+            dataset, k,
+        )
+
+    @classmethod
+    def from_dataset(cls, dataset: Dataset, **kwargs) -> "PPRService":
+        return cls(dataset, **kwargs)
+
+    def top_k(self, sources, k: int | None = None,
+              eps: float | None = None) -> list[list[TopKHit]]:
+        """Batched top-k PPR; per source a descending list of hits (ties
+        beyond k included, reference semantics)."""
+        k = k or self.k
+        sources = np.asarray(sources)
+        scores = self._topk_algo.compute_topk_batch(sources, k, eps or self.eps)
+        out = []
+        for row in np.asarray(scores):
+            ids = topk_ids_with_ties(row, k)
+            out.append([
+                TopKHit(int(v), float(row[v]), self.dataset.names[int(v)])
+                for v in ids
+            ])
+        return out
+
+    def whole_graph(self, sources, eps: float | None = None) -> np.ndarray:
+        """Dense PPR rows [B, n] (padding trimmed)."""
+        sources = np.asarray(sources)
+        scores = self._wg_algo.compute_whole_graph_batch(
+            sources, eps or self.eps
+        )
+        return np.asarray(scores)[:, : self.dataset.n]
