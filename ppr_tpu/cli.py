@@ -117,7 +117,7 @@ def main(argv=None) -> int:
 
     try:
         with trace(args.trace_dir):
-            harness.algo_perf_batch_test(args.query, args.k)
+            harness.algo_perf_batch_test(args.query, args.k, sweep=args.sweep)
     except Exception as e:  # PPR.java:196-199 prints and exits
         print(f"Algo performance batch test failed! ({e})")
         raise

@@ -34,7 +34,6 @@ with ``edge_mask = 0`` so they contribute nothing to segment-sums.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -277,11 +276,6 @@ def graph_from_scipy(mat, **kwargs) -> Graph:
     """Build from a ``scipy.sparse`` matrix where ``mat[i, j] != 0`` is edge i->j."""
     coo = mat.tocoo()
     return build_graph(coo.row, coo.col, n=mat.shape[0], **kwargs)
-
-
-@partial(jax.jit, static_argnames=("n_pad",))
-def _deg_hist(out_deg: jax.Array, n_pad: int) -> jax.Array:
-    return jnp.zeros((n_pad,), jnp.int32).at[out_deg].add(1)
 
 
 def summarize(g: Graph) -> dict:

@@ -212,7 +212,7 @@ def synthetic_weighted(n: int, avg_deg: int = 8, *, seed: int = 0,
     """Seeded weighted synthetic graph (log-normal edge weights)."""
     rng = np.random.default_rng(seed)
     base = synthetic_powerlaw(
-        n, avg_deg, seed=seed, dense_threshold=10**9  # rebuild below
+        n, avg_deg, seed=seed, dense_threshold=0  # skip dense; rebuilt below
     )
     g = base.graph
     src = np.asarray(g.edge_src)[: g.m].astype(np.int64)

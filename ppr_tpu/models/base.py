@@ -140,9 +140,21 @@ class PreprocessingMixin:
         store.finalize()
         self._store = store
 
-    def read_preprocessed_ppr(self, source: int) -> None:
-        store = self._store or self.make_store(self._store_param())
-        self._last_scores = store.read_row(int(source))
+    def attach_store(self, param) -> None:
+        """Attach a previously persisted store (a fresh process answering
+        queries against an existing preprocessing run — the reference's
+        readPreprocessedPPR-without-recompute usage)."""
+        self._store = self.make_store(param)
+
+    def read_preprocessed_ppr(self, source: int, param=None) -> None:
+        if self._store is None:
+            if param is None:
+                raise RuntimeError(
+                    "no store attached: run preprocessing() or "
+                    "attach_store(param) first"
+                )
+            self.attach_store(param)
+        self._last_scores = self._store.read_row(int(source))
         self._last_topk_scores = None
 
     def get_prep_size(self) -> int:
@@ -151,6 +163,3 @@ class PreprocessingMixin:
     def delete_prep_dir(self) -> None:
         if self._store:
             self._store.delete()
-
-    def _store_param(self):
-        raise RuntimeError("preprocessing() has not been run")

@@ -218,7 +218,36 @@ def _whole_graph_walk_setup(r: jax.Array, omega: jax.Array):
     return om, w
 
 
-class ForaWholeGraph(PreprocessingMixin, PPRAlgorithm):
+class _ForaCostModel:
+    """Shared push/walk/SpMV balance model (both FORA variants).
+
+    Constants come from :func:`_default_cost_constants`; install measured
+    values via :mod:`ppr_tpu.utils.calibrate`."""
+
+    def _init_cost_constants(self) -> None:
+        (
+            self.avg_rand_walk_time_ns,
+            self.spmv_ns_per_edge,
+            self.spmv_batch_amortized,
+        ) = _default_cost_constants()
+
+    def _spmv_completion_ns(self, rsum: float, target: float,
+                            batch: int) -> float:
+        """Estimated per-query cost of deterministic completion."""
+        iters = _completion_iters(rsum, target, self.alpha)
+        per_batch = iters * self.spmv_ns_per_edge * max(self.graph.m, 1)
+        return per_batch / max(batch, 1) if self.spmv_batch_amortized \
+            else per_batch
+
+    def _use_spmv(self, omega: float, rsum: float, target: float,
+                  batch: int = 1) -> bool:
+        if self.completion != "auto":
+            return self.completion == "spmv"
+        walk_cost = self.avg_rand_walk_time_ns * omega * rsum
+        return self._spmv_completion_ns(rsum, target, batch) < walk_cost
+
+
+class ForaWholeGraph(PreprocessingMixin, _ForaCostModel, PPRAlgorithm):
     name = "FORA"
     prep_dirname = "FORA_ppr_results"
 
@@ -236,11 +265,7 @@ class ForaWholeGraph(PreprocessingMixin, PPRAlgorithm):
         #: batched residue propagation — exact, TPU-fast), or "auto" (FORA's
         #: own cost model with per-backend calibrated constants)
         self.completion = completion
-        (
-            self.avg_rand_walk_time_ns,
-            self.spmv_ns_per_edge,
-            self.spmv_batch_amortized,
-        ) = _default_cost_constants()
+        self._init_cost_constants()
         #: True replicates the reference exactly (a *fresh* push from r = e_s
         #: every round, Fora_Whole_Graph.java:94-100); False continues each
         #: round from the previous fixpoint — reaching an equivalent fixpoint
@@ -262,6 +287,11 @@ class ForaWholeGraph(PreprocessingMixin, PPRAlgorithm):
         rsum_local = 1.0
         push_ns = 0.0
         p, r, src_onehot = forward_push_init(g, sources_j)
+        # untimed warmup so first-call jit compilation (minutes on a cold TPU
+        # cache) never pollutes the push/completion cost balance
+        jax.block_until_ready(forward_push_sweeps(
+            g, p, r, src_onehot, jnp.float32(rmax), self.alpha
+        ))
         first = True
         rounds = 0
         completion_target = eps * self.delta
@@ -316,23 +346,8 @@ class ForaWholeGraph(PreprocessingMixin, PPRAlgorithm):
         )
         return np.asarray(p)
 
-    def _spmv_completion_ns(self, rsum: float, target: float,
-                            batch: int) -> float:
-        """Estimated per-query cost of deterministic completion."""
-        iters = _completion_iters(rsum, target, self.alpha)
-        per_batch = iters * self.spmv_ns_per_edge * max(self.graph.m, 1)
-        return per_batch / max(batch, 1) if self.spmv_batch_amortized \
-            else per_batch
 
-    def _use_spmv(self, omega: float, rsum: float, target: float,
-                  batch: int = 1) -> bool:
-        if self.completion != "auto":
-            return self.completion == "spmv"
-        walk_cost = self.avg_rand_walk_time_ns * omega * rsum
-        return self._spmv_completion_ns(rsum, target, batch) < walk_cost
-
-
-class ForaTopk(PPRAlgorithm):
+class ForaTopk(_ForaCostModel, PPRAlgorithm):
     name = "FORA-Topk"
 
     def __init__(self, dataset, alpha: float, k: int, *, seed: int = 0,
@@ -351,11 +366,7 @@ class ForaTopk(PPRAlgorithm):
         #: incremental propagation alone is strictly cheaper on TPU), or
         #: "auto" (skip pushes exactly when SpMV completion is selected).
         self.push = push
-        (
-            self.avg_rand_walk_time_ns,
-            self.spmv_ns_per_edge,
-            self.spmv_batch_amortized,
-        ) = _default_cost_constants()
+        self._init_cost_constants()
 
     def compute_topk_batch(self, sources: np.ndarray, k: int, param) -> np.ndarray:
         eps = float(param) * 0.5      # eps' = eps/2 (Fora_Topk.java:110)

@@ -58,8 +58,16 @@ int64_t ppr_parse_edge_list(const char* path, int64_t cap,
   FILE* f = fopen(path, "rb");
   if (!f) return -1;
   int64_t m = 0;
-  char line[256];
+  char line[8192];
   while (fgets(line, sizeof(line), f)) {
+    // a line longer than the buffer: consume its remainder so continuation
+    // bytes are never parsed as a fresh (phantom) edge
+    size_t len = strlen(line);
+    if (len + 1 == sizeof(line) && line[len - 1] != '\n') {
+      int c;
+      while ((c = fgetc(f)) != EOF && c != '\n') {
+      }
+    }
     const char* p = line;
     while (*p == ' ' || *p == '\t') ++p;
     if (*p == '#' || *p == '\n' || *p == '\0') continue;

@@ -57,6 +57,12 @@ def make_mesh(n_devices: int | None = None, *, data: int | None = None,
 
 def shard_graph(g: Graph, mesh: Mesh) -> Graph:
     """Place edge arrays sharded over ``graph``; node arrays replicated."""
+    if g.weighted:
+        raise NotImplementedError(
+            "edge-sharded execution currently supports uniform graphs only "
+            "(the sharded kernels use 1/d_out scaling; weighted per-edge "
+            "coefficient shards are planned)"
+        )
     edge_spec = NamedSharding(mesh, P("graph"))
     rep = NamedSharding(mesh, P())
     return Graph(

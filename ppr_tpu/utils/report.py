@@ -16,15 +16,21 @@ import os
 
 
 def progress_printer(total: int, *, enabled: bool = True):
-    """Returns callback(idx) printing 'Progress: P%' at 10% increments."""
-    marks = {max(0, total * p // 100): p for p in range(10, 100, 10)}
-    marks[max(total - 1, 0)] = 100
-    seen = set()
+    """Returns callback(idx) printing 'Progress: P%' at 10% increments.
+
+    Any threshold *crossed* by ``idx`` fires (batched loops report only
+    batch-end indices, so exact matches would skip most marks)."""
+    marks = sorted(
+        {max(0, total * p // 100): p for p in range(10, 100, 10)}.items()
+    ) + [(max(total - 1, 0), 100)]
+    state = {"next": 0}
 
     def report(idx: int) -> None:
-        if enabled and idx in marks and idx not in seen:
-            seen.add(idx)
-            print(f"Progress: {marks[idx]}%")
+        if not enabled:
+            return
+        while state["next"] < len(marks) and idx >= marks[state["next"]][0]:
+            print(f"Progress: {marks[state['next']][1]}%")
+            state["next"] += 1
 
     return report
 
