@@ -1,0 +1,73 @@
+"""Regression tests for the round-1 code-review findings."""
+
+import numpy as np
+
+
+def test_progress_marks_fire_on_crossing(capsys):
+    from ppr_tpu.utils.report import progress_printer
+
+    report = progress_printer(10_000)
+    report(127)
+    report(2047)    # crosses 10% and 20%
+    out = capsys.readouterr().out
+    assert "Progress: 10%" in out and "Progress: 20%" in out
+    report(9_999)   # crosses everything else exactly once
+    out = capsys.readouterr().out
+    assert out.count("Progress: 100%") == 1
+    assert "Progress: 90%" in out
+
+
+def test_store_reattach_fresh_instance(got, tmp_path, monkeypatch):
+    from ppr_tpu.models import AlgoConf
+
+    monkeypatch.chdir(tmp_path)
+    fp = AlgoConf(0.15).set_conf_fwdpush(got)
+    fp.preprocessing(-1.0, 1e-5, progress=False)
+
+    # a brand-new instance (fresh process scenario) reads the persisted store
+    fp2 = AlgoConf(0.15).set_conf_fwdpush(got)
+    fp2.read_preprocessed_ppr(17, param=1e-5)
+    row = fp2.get_whole_graph_dense()
+    direct = fp.compute_whole_graph_batch(np.asarray([17]), 1e-5)[0]
+    np.testing.assert_allclose(row, direct, atol=1e-6)
+    fp.delete_prep_dir()
+
+
+def test_sharded_weighted_graph_rejected(got):
+    import jax
+    import pytest
+
+    from ppr_tpu.graph.csr import build_graph
+    from ppr_tpu.parallel.sharded import make_mesh, shard_graph
+
+    g = build_graph(
+        np.array([0, 1]), np.array([1, 0]), n=2,
+        weights=np.array([1.0, 2.0]),
+    )
+    mesh = make_mesh(2, data=1, graph=2)
+    with pytest.raises(NotImplementedError):
+        shard_graph(g, mesh)
+
+
+def test_synthetic_weighted_no_dense_blowup():
+    from ppr_tpu.graph.io import synthetic_weighted
+
+    # would OOM before the fix (17 GB dense operator for the base graph)
+    ds = synthetic_weighted(6000, 4, seed=2, dense_threshold=0)
+    assert ds.graph.weighted
+    assert ds.graph.dense_out is None
+
+
+def test_native_long_line_handling(tmp_path):
+    from ppr_tpu.native import get_lib, parse_edge_list_native
+
+    if get_lib() is None:
+        return
+    p = tmp_path / "long.txt"
+    long_comment = "# " + "x1 " * 5000  # >> 8 KiB of digit-bearing junk
+    p.write_text(long_comment + "\n0 1\n1 2\n")
+    parsed = parse_edge_list_native(str(p), 64)
+    assert parsed is not None
+    src, dst = parsed
+    assert list(src) == [0, 1]
+    assert list(dst) == [1, 2]
