@@ -18,7 +18,11 @@ def enable_compilation_cache(path: str | None = None) -> None:
     os.makedirs(path, exist_ok=True)
     try:
         jax.config.update("jax_compilation_cache_dir", path)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        # persist everything: through the remote-compile tunnel the reported
+        # client-side compile time can be near zero even for minutes-long
+        # terminal-side compiles, so a time threshold would skip exactly the
+        # entries that matter
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     except Exception:
         pass  # older jax without these flags
