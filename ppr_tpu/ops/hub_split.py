@@ -1,0 +1,106 @@
+"""Hub-split hybrid SpMV: dense MXU columns for high-in-degree hubs.
+
+TPU sparse ops are index-rate-bound (~10 ns per edge index — PERF.md), so
+the way to make a push sweep cheaper is to *remove edge indices from the
+sparse path*. In power-law graphs a few hundred hub nodes receive a large
+fraction of all edges; their incoming contributions are a dense reduction:
+
+    y[hub_h] = sum_v a[v]/d_v * (#edges v->hub_h)   ==  (a * inv_deg) @ M[:, h]
+
+i.e. one ``[B, n] @ [n, H]`` MXU matmul replaces the segment-sum over every
+hub-destined edge. The remaining tail edges go through the usual sorted
+segmented reduction. On the 1M-edge benchmark graph the top-512 in-degree
+hubs carry ~45% of edges — roughly halving the index count per sweep.
+
+The hub data lives in its own small pytree (:class:`HubSplit`) next to the
+Graph, so enabling it does not change the Graph pytree (and therefore does
+not invalidate compiled-program caches of the non-hybrid paths).
+
+Currently uniform-weight graphs only (the hybrid path is a performance
+backend for the large-graph regime; weighted graphs use the standard
+backends).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..graph.csr import Graph
+from .spmv import _safe_inv_deg
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class HubSplit:
+    hub_ids: jax.Array        # int32[H] node ids (largest in-degree)
+    hub_matrix: jax.Array     # f32[n_pad, H]; [v, h] = multiplicity(v->hub_h)/d_v
+    tail_src: jax.Array       # int32[mt_pad] dst-sorted tail edges
+    tail_dst: jax.Array       # int32[mt_pad]
+    num_hubs: int = dataclasses.field(metadata=dict(static=True))
+    m_tail: int = dataclasses.field(metadata=dict(static=True))
+
+
+def build_hub_split(g: Graph, num_hubs: int = 512) -> HubSplit:
+    """Host-side construction from the dst-sorted edge view."""
+    if g.weighted:
+        raise NotImplementedError("hub split supports uniform graphs")
+    num_hubs = int(min(num_hubs, g.n))
+    in_deg = np.asarray(g.in_deg)[: g.n]
+    hub_ids = np.argsort(-in_deg, kind="stable")[:num_hubs].astype(np.int32)
+    is_hub = np.zeros(g.n_pad, bool)
+    is_hub[hub_ids] = True
+
+    src = np.asarray(g.edge_src_bydst)[: g.m]
+    dst = np.asarray(g.edge_dst_bydst)[: g.m]
+    hub_pos = np.full(g.n_pad, -1, np.int64)
+    hub_pos[hub_ids] = np.arange(num_hubs)
+
+    to_hub = is_hub[dst]
+    # raw edge multiplicities: the consumer multiplies by a * 1/d_v first,
+    # so the matrix itself must NOT carry the degree normalization
+    hub_matrix = np.zeros((g.n_pad, num_hubs), np.float32)
+    hsrc, hdst = src[to_hub], dst[to_hub]
+    np.add.at(hub_matrix, (hsrc, hub_pos[hdst]), 1.0)
+
+    t_src, t_dst = src[~to_hub], dst[~to_hub]
+    m_tail = int(t_src.size)
+    mt_pad = max(128, ((m_tail + 127) // 128) * 128)
+    tail_src = np.full(mt_pad, g.n_pad - 1, np.int32)
+    tail_dst = np.full(mt_pad, g.n_pad - 1, np.int32)
+    tail_src[:m_tail] = t_src
+    tail_dst[:m_tail] = t_dst
+
+    return HubSplit(
+        hub_ids=jnp.asarray(hub_ids),
+        hub_matrix=jnp.asarray(hub_matrix),
+        tail_src=jnp.asarray(tail_src),
+        tail_dst=jnp.asarray(tail_dst),
+        num_hubs=num_hubs,
+        m_tail=m_tail,
+    )
+
+
+def push_out_hybrid(g: Graph, hs: HubSplit, a: jax.Array) -> jax.Array:
+    """``push_out`` semantics via dense hub matmul + sparse tail reduction."""
+    inv_deg = _safe_inv_deg(g.out_deg)
+    scaled = a * inv_deg
+    squeeze = scaled.ndim == 1
+    if squeeze:
+        scaled = scaled[None, :]
+
+    hub_vals = jnp.matmul(
+        scaled, hs.hub_matrix, preferred_element_type=jnp.float32
+    )                                                   # [B, H] on the MXU
+
+    scaled_t = jnp.moveaxis(scaled, -1, 0)              # [n_pad, B]
+    contrib_t = jnp.take(scaled_t, hs.tail_src, axis=0)
+    out_t = jax.ops.segment_sum(
+        contrib_t, hs.tail_dst, num_segments=g.n_pad, indices_are_sorted=True
+    )
+    out = jnp.moveaxis(out_t, 0, -1)
+    out = out.at[..., hs.hub_ids].add(hub_vals)
+    return out[0] if squeeze else out

@@ -1,0 +1,51 @@
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ppr_tpu.graph.csr import build_graph
+from ppr_tpu.ops.hub_split import build_hub_split, push_out_hybrid
+from ppr_tpu.ops.spmv import push_out
+
+
+@pytest.fixture(scope="module")
+def skewed():
+    # heavily skewed in-degrees: most edges land on a few hubs
+    rng = np.random.default_rng(8)
+    n, m = 400, 5000
+    src = rng.integers(0, n, m)
+    w = 1.0 / (np.arange(n) + 1.0)
+    dst = rng.choice(n, size=m, p=w / w.sum())
+    return build_graph(src, dst, n=n, dense_threshold=0)
+
+
+@pytest.mark.parametrize("num_hubs", [1, 16, 64, 400])
+def test_hybrid_matches_reference_backend(skewed, num_hubs):
+    g = skewed
+    hs = build_hub_split(g, num_hubs)
+    rng = np.random.default_rng(9)
+    a = np.zeros((3, g.n_pad), np.float32)
+    a[:, : g.n] = rng.random((3, g.n))
+    ref = np.asarray(push_out(g, jnp.asarray(a), backend="coo"))
+    hyb = np.asarray(push_out_hybrid(g, hs, jnp.asarray(a)))
+    np.testing.assert_allclose(hyb, ref, atol=1e-4)
+    # 1D path
+    hyb1 = np.asarray(push_out_hybrid(g, hs, jnp.asarray(a[0])))
+    np.testing.assert_allclose(hyb1, ref[0], atol=1e-4)
+
+
+def test_hub_split_edge_partition(skewed):
+    g = skewed
+    hs = build_hub_split(g, 32)
+    # hub + tail edges account for every real edge exactly once
+    hub_edges = float(
+        np.asarray(hs.hub_matrix).sum()
+        * 1.0  # matrix entries are 1/d multiplicities; recount explicitly
+    )
+    dst = np.asarray(g.edge_dst_bydst)[: g.m]
+    is_hub = np.isin(dst, np.asarray(hs.hub_ids))
+    assert hs.m_tail == int((~is_hub).sum())
+    # the hubs really are the highest in-degree nodes
+    in_deg = np.asarray(g.in_deg)[: g.n]
+    assert in_deg[np.asarray(hs.hub_ids)].min() >= np.partition(
+        in_deg, -32
+    )[-32]
