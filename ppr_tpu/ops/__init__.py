@@ -11,3 +11,4 @@ from .walk import (  # noqa: F401
     random_walks,
     weighted_walk_counts,
 )
+from .hub_split import HubSplit, build_hub_split, push_out_hybrid  # noqa: F401
