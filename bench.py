@@ -159,6 +159,9 @@ def main():
 
     conf = AlgoConf(args.alpha, seed=7)
     fora = conf.set_conf_fora_topk(ds, args.k)
+    if not args.quick and jax.default_backend() != "cpu":
+        # dense-hub hybrid SpMV: ~1.8x per propagation sweep (PERF.md)
+        fora.enable_hub_split(512)
 
     # warmup (compile) then timed runs
     fora.compute_topk_batch(sources, args.k, args.eps)

@@ -49,3 +49,17 @@ def test_hub_split_edge_partition(skewed):
     assert in_deg[np.asarray(hs.hub_ids)].min() >= np.partition(
         in_deg, -32
     )[-32]
+
+
+def test_fora_topk_with_hub_split_matches(got):
+    from ppr_tpu.models import AlgoConf
+
+    base = AlgoConf(0.15, seed=3).set_conf_fora_topk(got, 10)
+    base.completion = "spmv"
+    ref = base.compute_topk_batch(np.arange(0, got.n, 7), 10, 0.5)
+
+    hub = AlgoConf(0.15, seed=3).set_conf_fora_topk(got, 10)
+    hub.completion = "spmv"
+    hub.enable_hub_split(16)
+    out = hub.compute_topk_batch(np.arange(0, got.n, 7), 10, 0.5)
+    np.testing.assert_allclose(out, ref, atol=1e-5)
