@@ -136,6 +136,8 @@ def main():
     ap.add_argument("--cpu-queries", type=int, default=2)
     ap.add_argument("--acc-queries", type=int, default=8)
     ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--hub-split", action="store_true",
+                    help="use the dense-hub hybrid SpMV in the serving path")
     args = ap.parse_args()
     if args.quick:
         args.n, args.deg, args.batch = 4096, 8, 8
@@ -159,8 +161,10 @@ def main():
 
     conf = AlgoConf(args.alpha, seed=7)
     fora = conf.set_conf_fora_topk(ds, args.k)
-    if not args.quick and jax.default_backend() != "cpu":
-        # dense-hub hybrid SpMV: ~1.8x per propagation sweep (PERF.md)
+    if args.hub_split:
+        # dense-hub hybrid SpMV: ~1.8x per propagation sweep in isolation
+        # (PERF.md); opt-in here because the larger program compiles longer
+        # through this environment's flaky remote-compile tunnel
         fora.enable_hub_split(512)
 
     # warmup (compile) then timed runs
