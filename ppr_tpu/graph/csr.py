@@ -246,7 +246,13 @@ def build_graph(
 def _build_alias_tables(indptr, coef, m, m_pad):
     """Walker's alias method per CSR segment: slot j of node v keeps its own
     target with probability ``prob[j]``, else redirects to slot
-    ``other[j]``. O(d) construction per node."""
+    ``other[j]``. O(d) construction per node — native C++ when available,
+    numpy/python fallback."""
+    from ..native import build_alias_native
+
+    native = build_alias_native(np.asarray(indptr), coef, m_pad)
+    if native is not None:
+        return native
     prob = np.ones(m_pad, np.float32)
     other = np.arange(m_pad, dtype=np.int32)
     indptr = np.asarray(indptr)

@@ -48,6 +48,7 @@ def get_lib():
             lib = ctypes.CDLL(so)
             lib.ppr_build_csr.restype = ctypes.c_int
             lib.ppr_parse_edge_list.restype = ctypes.c_int64
+            lib.ppr_build_alias.restype = ctypes.c_int
             _lib = lib
     return _lib
 
@@ -79,6 +80,25 @@ def build_csr_native(src: np.ndarray, dst: np.ndarray, n: int, n_pad: int):
     if rc != 0:
         raise ValueError("edge endpoint out of range")
     return indptr, indices[:m], sorted_src[:m], out_deg, in_deg
+
+
+def build_alias_native(indptr: np.ndarray, coef: np.ndarray, m_pad: int):
+    """Walker alias tables over CSR segments; returns (prob, other) or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    indptr = np.ascontiguousarray(indptr, np.int32)
+    coef = np.ascontiguousarray(coef, np.float32)
+    prob = np.ones(m_pad, np.float32)
+    other = np.arange(m_pad, dtype=np.int32)
+    rc = lib.ppr_build_alias(
+        ctypes.c_int64(indptr.shape[0] - 1),
+        _ptr(indptr, ctypes.c_int32), _ptr(coef, ctypes.c_float),
+        _ptr(prob, ctypes.c_float), _ptr(other, ctypes.c_int32),
+    )
+    if rc != 0:
+        return None
+    return prob, other
 
 
 def parse_edge_list_native(path: str, cap: int):

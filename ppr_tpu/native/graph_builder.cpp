@@ -87,4 +87,68 @@ int64_t ppr_parse_edge_list(const char* path, int64_t cap,
   return m;
 }
 
+// Build Walker alias tables over CSR segments for O(1) weighted neighbor
+// sampling. coef[j] is the normalized edge probability (sums to 1 per
+// source segment). Outputs (both length m_pad, caller-initialized tail):
+//   prob[j]  : accept probability of slot j's own target
+//   other[j] : global slot index redirected to on reject
+// Uses the classic small/large two-stack construction, O(d) per node.
+int ppr_build_alias(int64_t n_pad, const int32_t* indptr, const float* coef,
+                    float* prob, int32_t* other) {
+  int64_t max_d = 0;
+  for (int64_t v = 0; v < n_pad; ++v) {
+    int64_t d = indptr[v + 1] - indptr[v];
+    if (d > max_d) max_d = d;
+  }
+  double* q = (double*)malloc(sizeof(double) * (max_d > 0 ? max_d : 1));
+  int32_t* small_s = (int32_t*)malloc(sizeof(int32_t) * (max_d > 0 ? max_d : 1));
+  int32_t* large_s = (int32_t*)malloc(sizeof(int32_t) * (max_d > 0 ? max_d : 1));
+  if (!q || !small_s || !large_s) return -1;
+
+  for (int64_t v = 0; v < n_pad; ++v) {
+    int64_t lo = indptr[v], hi = indptr[v + 1];
+    int64_t d = hi - lo;
+    if (d <= 1) {
+      if (d == 1) {
+        prob[lo] = 1.0f;
+        other[lo] = (int32_t)lo;
+      }
+      continue;
+    }
+    int64_t ns = 0, nl = 0;
+    for (int64_t j = 0; j < d; ++j) {
+      q[j] = (double)coef[lo + j] * (double)d;
+      if (q[j] < 1.0)
+        small_s[ns++] = (int32_t)j;
+      else
+        large_s[nl++] = (int32_t)j;
+    }
+    while (ns > 0 && nl > 0) {
+      int32_t s_j = small_s[--ns];
+      int32_t l_j = large_s[--nl];
+      prob[lo + s_j] = (float)q[s_j];
+      other[lo + s_j] = (int32_t)(lo + l_j);
+      q[l_j] -= (1.0 - q[s_j]);
+      if (q[l_j] < 1.0)
+        small_s[ns++] = l_j;
+      else
+        large_s[nl++] = l_j;
+    }
+    while (ns > 0) {
+      int32_t j = small_s[--ns];
+      prob[lo + j] = 1.0f;
+      other[lo + j] = (int32_t)(lo + j);
+    }
+    while (nl > 0) {
+      int32_t j = large_s[--nl];
+      prob[lo + j] = 1.0f;
+      other[lo + j] = (int32_t)(lo + j);
+    }
+  }
+  free(q);
+  free(small_s);
+  free(large_s);
+  return 0;
+}
+
 }  // extern "C"

@@ -50,3 +50,40 @@ def test_edge_list_loader_roundtrip(tmp_path):
     assert ds.names == ["10", "20", "30"]
     # first-appearance remap: 10->0, 20->1, 30->2
     assert np.asarray(ds.graph.out_deg)[0] == 2
+
+
+@needs_native
+def test_native_alias_matches_python():
+    import numpy as np
+
+    from ppr_tpu.graph.csr import build_graph
+    from ppr_tpu.ops.walk import _uniform_neighbor
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(31)
+    n, m = 80, 900
+    src = rng.integers(0, n, m)
+    dst = rng.integers(0, n, m)
+    w = rng.random(m) + 0.05
+    g = build_graph(src, dst, n=n, weights=w)  # native alias path
+
+    # sampling distribution from one high-degree node matches the weights
+    deg = np.asarray(g.out_deg)
+    v = int(np.argmax(deg[:n]))
+    W = 100_000
+    k1, k2 = jax.random.split(jax.random.key(2))
+    u = jax.random.uniform(k1, (W,))
+    u2 = jax.random.uniform(k2, (W,))
+    nxt = np.asarray(
+        _uniform_neighbor(g, jnp.full((W,), v, jnp.int32), u,
+                          jnp.full((W,), v, jnp.int32), u2)
+    )
+    wsum = np.zeros(n)
+    np.add.at(wsum, src, w)
+    expect = np.zeros(n)
+    for s, d, ww in zip(src, dst, w):
+        if s == v:
+            expect[d] += ww / wsum[v]
+    counts = np.bincount(nxt, minlength=g.n_pad)[:n] / W
+    np.testing.assert_allclose(counts, expect, atol=0.012)
