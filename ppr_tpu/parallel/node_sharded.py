@@ -33,16 +33,20 @@ from ..graph.csr import Graph
 
 
 def partition_edges_by_dst(g: Graph, num_shards: int):
-    """Host-side: per-shard (src, dst_local) arrays padded to equal length.
+    """Host-side: per-shard (src, dst_local, coef) arrays of equal length.
 
-    Returns (src [S, E], dst_local [S, E], n_local) where padding entries
-    point at each shard's last local node with src = sentinel (inert: the
-    sentinel never carries residue)."""
+    Returns (src [S, E], dst_local [S, E], coef [S, E] or None, n_local)
+    where padding entries point at each shard's last local node with
+    src = sentinel (inert: the sentinel never carries residue). ``coef`` is
+    the per-edge normalized weight for weighted graphs."""
     if g.n_pad % num_shards:
         raise ValueError(f"n_pad {g.n_pad} not divisible by {num_shards}")
     n_local = g.n_pad // num_shards
     dst_sorted = np.asarray(g.edge_dst_bydst)
     src_sorted = np.asarray(g.edge_src_bydst)
+    coef_sorted = (
+        np.asarray(g.edge_coef_bydst) if g.weighted else None
+    )
     bounds = np.searchsorted(
         dst_sorted, np.arange(0, g.n_pad + 1, n_local)
     )
@@ -52,13 +56,18 @@ def partition_edges_by_dst(g: Graph, num_shards: int):
     e_max = max(128, ((e_max + 127) // 128) * 128)
     src_out = np.full((num_shards, e_max), g.n_pad - 1, np.int32)
     dst_out = np.zeros((num_shards, e_max), np.int32)
+    coef_out = (
+        np.zeros((num_shards, e_max), np.float32) if g.weighted else None
+    )
     for s in range(num_shards):
         lo, hi = bounds[s], bounds[s + 1]
         cnt = hi - lo
         src_out[s, :cnt] = src_sorted[lo:hi]
         dst_out[s, :cnt] = dst_sorted[lo:hi] - s * n_local
         dst_out[s, cnt:] = n_local - 1  # in-range dummy, src is the sentinel
-    return src_out, dst_out, n_local
+        if g.weighted:
+            coef_out[s, :cnt] = coef_sorted[lo:hi]
+    return src_out, dst_out, coef_out, n_local
 
 
 def make_node_sharded_propagate(mesh: Mesh, g: Graph, alpha: float):
@@ -68,15 +77,9 @@ def make_node_sharded_propagate(mesh: Mesh, g: Graph, alpha: float):
     ``prepare_fn(sources) -> (p_l, r_l, onehot_l)`` places the initial state
     sharded over ('data' rows, 'graph' node ranges).
     """
-    if g.weighted:
-        raise NotImplementedError(
-            "node-sharded propagation currently supports uniform graphs "
-            "(weighted per-edge coefficients need a coef shard per edge "
-            "partition — planned)"
-        )
     mesh_shape = dict(zip(mesh.axis_names, mesh.devices.shape))
     s_graph = mesh_shape["graph"]
-    src_sh, dst_sh, n_local = partition_edges_by_dst(g, s_graph)
+    src_sh, dst_sh, coef_sh, n_local = partition_edges_by_dst(g, s_graph)
 
     state_spec = NamedSharding(mesh, P("data", "graph"))
     edge_spec = NamedSharding(mesh, P("graph", None))
@@ -84,6 +87,10 @@ def make_node_sharded_propagate(mesh: Mesh, g: Graph, alpha: float):
 
     src_d = jax.device_put(jnp.asarray(src_sh), edge_spec)
     dst_d = jax.device_put(jnp.asarray(dst_sh), edge_spec)
+    coef_d = (
+        jax.device_put(jnp.asarray(coef_sh), edge_spec)
+        if coef_sh is not None else None
+    )
     out_deg = jax.device_put(g.out_deg, rep)
     node_mask = jax.device_put(g.node_mask, rep)
 
@@ -98,8 +105,9 @@ def make_node_sharded_propagate(mesh: Mesh, g: Graph, alpha: float):
 
     alpha_f = jnp.float32(alpha)
 
-    def local_step(src_e, dst_e, inv_deg, dangling, p_l, r_l, onehot_l):
-        # src_e/dst_e: [1, E] local edge chunk; p_l/r_l: [B_l, n_local]
+    def local_step(src_e, dst_e, coef_e, inv_deg, dangling, p_l, r_l,
+                   onehot_l):
+        # src_e/dst_e[/coef_e]: [1, E] local edge chunk; p/r: [B_l, n_local]
         p_l = p_l + alpha_f * r_l
         rem = (1.0 - alpha_f) * r_l
 
@@ -111,8 +119,12 @@ def make_node_sharded_propagate(mesh: Mesh, g: Graph, alpha: float):
             rem_full * dangling[None, :], axis=-1, keepdims=True
         )
 
-        scaled = rem_full * inv_deg[None, :]
-        contrib = jnp.take(scaled, src_e[0], axis=-1)       # [B_l, E]
+        if coef_e is None:
+            scaled = rem_full * inv_deg[None, :]
+            contrib = jnp.take(scaled, src_e[0], axis=-1)   # [B_l, E]
+        else:
+            # weighted: per-edge normalized coefficient replaces 1/d scaling
+            contrib = jnp.take(rem_full, src_e[0], axis=-1) * coef_e
         # local dsts are sorted (dst-sorted global order restricted to the
         # shard; padding dummies sort to the end) -> sorted segment reduction
         n_local_ = r_l.shape[-1]
@@ -123,11 +135,19 @@ def make_node_sharded_propagate(mesh: Mesh, g: Graph, alpha: float):
         r_new = jnp.moveaxis(r_new_t, 0, -1) + dang_mass * onehot_l
         return p_l, r_new
 
+    edge_specs = (P("graph", None), P("graph", None))
+    if coef_d is not None:
+        edge_specs = edge_specs + (P("graph", None),)
+        fn = local_step
+    else:
+        def fn(src_e, dst_e, inv_deg, dangling, p_l, r_l, onehot_l):
+            return local_step(src_e, dst_e, None, inv_deg, dangling, p_l,
+                              r_l, onehot_l)
+
     mapped = jax.shard_map(
-        local_step,
+        fn,
         mesh=mesh,
-        in_specs=(
-            P("graph", None), P("graph", None),      # edges
+        in_specs=edge_specs + (
             P(), P(),                                # inv_deg, dangling
             P("data", "graph"), P("data", "graph"),  # p, r
             P("data", "graph"),                      # source one-hot
@@ -135,11 +155,20 @@ def make_node_sharded_propagate(mesh: Mesh, g: Graph, alpha: float):
         out_specs=(P("data", "graph"), P("data", "graph")),
         check_vma=False,
     )
-    step = jax.jit(
-        lambda p_l, r_l, onehot_l: mapped(
-            src_d, dst_d, inv_deg_full, is_dangling_full, p_l, r_l, onehot_l
+    if coef_d is not None:
+        step = jax.jit(
+            lambda p_l, r_l, onehot_l: mapped(
+                src_d, dst_d, coef_d, inv_deg_full, is_dangling_full,
+                p_l, r_l, onehot_l,
+            )
         )
-    )
+    else:
+        step = jax.jit(
+            lambda p_l, r_l, onehot_l: mapped(
+                src_d, dst_d, inv_deg_full, is_dangling_full,
+                p_l, r_l, onehot_l,
+            )
+        )
 
     def prepare(sources):
         sources = jnp.asarray(sources, jnp.int32)

@@ -57,12 +57,6 @@ def make_mesh(n_devices: int | None = None, *, data: int | None = None,
 
 def shard_graph(g: Graph, mesh: Mesh) -> Graph:
     """Place edge arrays sharded over ``graph``; node arrays replicated."""
-    if g.weighted:
-        raise NotImplementedError(
-            "edge-sharded execution currently supports uniform graphs only "
-            "(the sharded kernels use 1/d_out scaling; weighted per-edge "
-            "coefficient shards are planned)"
-        )
     edge_spec = NamedSharding(mesh, P("graph"))
     rep = NamedSharding(mesh, P())
     return Graph(
@@ -79,6 +73,22 @@ def shard_graph(g: Graph, mesh: Mesh) -> Graph:
         dense_out=None,  # sharded path always uses the COO kernels
         n=g.n,
         m=g.m,
+        edge_coef=(
+            jax.device_put(g.edge_coef, edge_spec)
+            if g.edge_coef is not None else None
+        ),
+        edge_coef_bydst=(
+            jax.device_put(g.edge_coef_bydst, edge_spec)
+            if g.edge_coef_bydst is not None else None
+        ),
+        alias_prob=(
+            jax.device_put(g.alias_prob, rep)
+            if g.alias_prob is not None else None
+        ),
+        alias_other=(
+            jax.device_put(g.alias_other, rep)
+            if g.alias_other is not None else None
+        ),
     )
 
 
@@ -89,8 +99,8 @@ def _local_push_sweep(alpha: float):
     frontier gate r/d >= rmax with dangling => r > 0, dangling mass returned
     to the source (Forward_Push.java:85-141 quirks preserved)."""
 
-    def sweep(edge_src, edge_dst, edge_mask, out_deg, node_mask, p, r,
-              src_onehot, rmax):
+    def sweep(edge_src, edge_dst, edge_mask, edge_coef, out_deg, node_mask,
+              p, r, src_onehot, rmax):
         deg_f = out_deg.astype(jnp.float32)
         is_dangling = (out_deg == 0) & (node_mask > 0)
         active = (
@@ -101,9 +111,15 @@ def _local_push_sweep(alpha: float):
         p = p + alpha * a
         a_dang = jnp.where(is_dangling, a, 0.0)
         dang_mass = jnp.sum(a_dang, axis=-1, keepdims=True)
-        inv_deg = jnp.where(out_deg > 0, 1.0 / jnp.maximum(deg_f, 1.0), 0.0)
-        per_node = (1.0 - alpha) * (a - a_dang) * inv_deg
-        vals = jnp.take(per_node, edge_src, axis=-1) * edge_mask
+        rem = (1.0 - alpha) * (a - a_dang)
+        if edge_coef is None:
+            inv_deg = jnp.where(
+                out_deg > 0, 1.0 / jnp.maximum(deg_f, 1.0), 0.0
+            )
+            vals = jnp.take(rem * inv_deg, edge_src, axis=-1) * edge_mask
+        else:
+            # weighted: per-edge normalized coefficient replaces 1/d scaling
+            vals = jnp.take(rem, edge_src, axis=-1) * edge_coef * edge_mask
         contrib = jnp.zeros_like(r).at[..., edge_dst].add(vals)
         pushed = jax.lax.psum(contrib, "graph")
         r = r - a + pushed + (1.0 - alpha) * dang_mass * src_onehot
@@ -112,24 +128,42 @@ def _local_push_sweep(alpha: float):
     return sweep
 
 
-def make_sharded_push_sweeps(mesh: Mesh, alpha: float, num_sweeps: int):
-    """jit-compiled: ``num_sweeps`` sharded push sweeps over the mesh."""
+def make_sharded_push_sweeps(mesh: Mesh, alpha: float, num_sweeps: int,
+                             weighted: bool = False):
+    """jit-compiled: ``num_sweeps`` sharded push sweeps over the mesh.
+
+    With ``weighted=True`` the callable takes an extra per-edge coefficient
+    chunk after ``edge_mask``."""
     sweep = _local_push_sweep(alpha)
 
-    def many(edge_src, edge_dst, edge_mask, out_deg, node_mask, p, r,
-             src_onehot, rmax):
-        def body(_, pr):
-            return sweep(edge_src, edge_dst, edge_mask, out_deg, node_mask,
-                         pr[0], pr[1], src_onehot, rmax)
+    if weighted:
+        def many(edge_src, edge_dst, edge_mask, edge_coef, out_deg,
+                 node_mask, p, r, src_onehot, rmax):
+            def body(_, pr):
+                return sweep(edge_src, edge_dst, edge_mask, edge_coef,
+                             out_deg, node_mask, pr[0], pr[1], src_onehot,
+                             rmax)
 
-        p, r = jax.lax.fori_loop(0, num_sweeps, body, (p, r))
-        return p, r
+            p, r = jax.lax.fori_loop(0, num_sweeps, body, (p, r))
+            return p, r
+
+        edge_specs = (P("graph"), P("graph"), P("graph"), P("graph"))
+    else:
+        def many(edge_src, edge_dst, edge_mask, out_deg, node_mask, p, r,
+                 src_onehot, rmax):
+            def body(_, pr):
+                return sweep(edge_src, edge_dst, edge_mask, None, out_deg,
+                             node_mask, pr[0], pr[1], src_onehot, rmax)
+
+            p, r = jax.lax.fori_loop(0, num_sweeps, body, (p, r))
+            return p, r
+
+        edge_specs = (P("graph"), P("graph"), P("graph"))
 
     mapped = jax.shard_map(
         many,
         mesh=mesh,
-        in_specs=(
-            P("graph"), P("graph"), P("graph"),   # edge chunks
+        in_specs=edge_specs + (
             P(), P(),                              # node arrays (replicated)
             P("data", None), P("data", None),      # p, r
             P("data", None),                       # src one-hot

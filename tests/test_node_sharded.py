@@ -38,7 +38,8 @@ def test_edge_partition_by_dst(got):
     from ppr_tpu.parallel.node_sharded import partition_edges_by_dst
 
     g = got.graph
-    src_sh, dst_sh, n_local = partition_edges_by_dst(g, 4)
+    src_sh, dst_sh, coef_sh, n_local = partition_edges_by_dst(g, 4)
+    assert coef_sh is None  # uniform graph
     assert src_sh.shape == dst_sh.shape
     assert n_local * 4 == g.n_pad
     # every real edge appears exactly once in the right shard
@@ -50,3 +51,28 @@ def test_edge_partition_by_dst(got):
         assert (dst_sh[s][real] < n_local).all()
         # local dsts sorted for the sorted segment reduction
         assert (np.diff(dst_sh[s]) >= 0).all()
+
+
+def test_node_sharded_weighted_matches_oracle(mesh8):
+    from ppr_tpu.graph.csr import build_graph
+    from ppr_tpu.models.power_method import power_method_batch
+    from ppr_tpu.parallel.node_sharded import make_node_sharded_propagate
+
+    rng = np.random.default_rng(17)
+    n, m = 200, 1500
+    src = rng.integers(0, n, m)
+    dst = rng.integers(0, n, m)
+    w = rng.random(m) + 0.1
+    g = build_graph(src, dst, n=n, weights=w, dense_threshold=0)
+    assert g.n_pad % 4 == 0
+
+    step, prepare = make_node_sharded_propagate(mesh8, g, ALPHA)
+    sources = np.array([3, 77])
+    p, r, onehot = prepare(sources)
+    for _ in range(50):
+        p, r = step(p, r, onehot)
+
+    ref = np.asarray(
+        power_method_batch(g, jnp.asarray(sources, jnp.int32), ALPHA, 50)
+    )
+    np.testing.assert_allclose(np.asarray(p), ref, atol=1e-5)

@@ -33,20 +33,37 @@ def test_store_reattach_fresh_instance(got, tmp_path, monkeypatch):
     fp.delete_prep_dir()
 
 
-def test_sharded_weighted_graph_rejected(got):
-    import jax
-    import pytest
+def test_sharded_weighted_push_matches_single_device():
+    import jax.numpy as jnp
 
     from ppr_tpu.graph.csr import build_graph
-    from ppr_tpu.parallel.sharded import make_mesh, shard_graph
-
-    g = build_graph(
-        np.array([0, 1]), np.array([1, 0]), n=2,
-        weights=np.array([1.0, 2.0]),
+    from ppr_tpu.ops.push import forward_push_init, forward_push_sweeps
+    from ppr_tpu.parallel.sharded import (
+        make_mesh, make_sharded_push_sweeps, shard_graph,
     )
-    mesh = make_mesh(2, data=1, graph=2)
-    with pytest.raises(NotImplementedError):
-        shard_graph(g, mesh)
+
+    rng = np.random.default_rng(23)
+    n, m = 150, 1200
+    src = rng.integers(0, n, m)
+    dst = rng.integers(0, n, m)
+    w = rng.random(m) + 0.1
+    g = build_graph(src, dst, n=n, weights=w, dense_threshold=0)
+    mesh = make_mesh(4, data=2, graph=2)
+    gs = shard_graph(g, mesh)
+
+    sources = jnp.asarray([3, 11], jnp.int32)
+    p0, r0, onehot = forward_push_init(g, sources)
+    rmax = jnp.float32(1e-3)
+    push = make_sharded_push_sweeps(mesh, 0.15, num_sweeps=6, weighted=True)
+    p_sh, r_sh = push(
+        gs.edge_src, gs.edge_dst, gs.edge_mask, gs.edge_coef,
+        gs.out_deg, gs.node_mask, p0, r0, onehot, rmax,
+    )
+
+    # single-device reference: same number of masked sweeps
+    p, r, _ = forward_push_sweeps(g, p0, r0, onehot, rmax, 0.15, max_sweeps=6)
+    np.testing.assert_allclose(np.asarray(p_sh), np.asarray(p), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(r_sh), np.asarray(r), atol=1e-5)
 
 
 def test_synthetic_weighted_no_dense_blowup():
