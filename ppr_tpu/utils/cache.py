@@ -12,6 +12,17 @@ import os
 def enable_compilation_cache(path: str | None = None) -> None:
     import jax
 
+    try:
+        backend = jax.default_backend()
+    except Exception:
+        backend = "unknown"
+    if backend == "cpu":
+        # NEVER cache CPU executables: XLA:CPU AOT results carry exact
+        # machine-feature sets (+prefer-no-scatter etc.) and loading an
+        # entry compiled for a different feature profile intermittently
+        # SIGILL/SIGABRTs the process. CPU compiles are fast anyway.
+        return
+
     path = path or os.environ.get(
         "PPR_TPU_COMPILE_CACHE", os.path.expanduser("~/.cache/ppr_tpu_xla")
     )
