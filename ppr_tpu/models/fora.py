@@ -51,8 +51,8 @@ from ..ops.push import (
     forward_push_init,
     forward_push_sweeps,
 )
-from ..ops.hub_split import push_out_hybrid
-from ..ops.spmv import push_out
+from ..ops.hub_split import push_out_hybrid_t
+from ..ops.spmv import push_out_t
 from ..ops.walk import expand_walkers, weighted_walk_counts
 from .base import PPRAlgorithm, PreprocessingMixin
 
@@ -124,28 +124,32 @@ def residual_propagate(
     rsum. On TPU this is the fast completion: batched SpMV rides memory
     bandwidth/MXU whereas per-walker stepping is random-gather bound."""
     alpha = jnp.float32(alpha)
-    is_dangling = (g.out_deg == 0) & (g.node_mask > 0)
+    # node-major state [n_pad, B]: per-edge gathers read contiguous [B] rows
+    # and no transpose is materialized inside the loop (one in, one out)
+    is_dangling = ((g.out_deg == 0) & (g.node_mask > 0))[:, None]
+    p_t, r_t = p.T, r.T
+    src_t = src_onehot.T
 
     def cond(state):
         _, r_, it = state
-        return (it < max_iters) & (jnp.max(jnp.sum(r_, axis=-1)) > target)
+        return (it < max_iters) & (jnp.max(jnp.sum(r_, axis=0)) > target)
 
     def body(state):
         p_, r_, it = state
         p_ = p_ + alpha * r_
         rem = (1.0 - alpha) * r_
         rem_dang = jnp.where(is_dangling, rem, 0.0)
-        dang_mass = jnp.sum(rem_dang, axis=-1, keepdims=True)
+        dang_mass = jnp.sum(rem_dang, axis=0, keepdims=True)
         rem_out = rem - rem_dang
         pushed = (
-            push_out(g, rem_out) if hs is None
-            else push_out_hybrid(g, hs, rem_out)
+            push_out_t(g, rem_out) if hs is None
+            else push_out_hybrid_t(g, hs, rem_out)
         )
-        r_ = pushed + dang_mass * src_onehot
+        r_ = pushed + dang_mass * src_t
         return p_, r_, it + 1
 
-    p, r, iters = jax.lax.while_loop(cond, body, (p, r, jnp.int32(0)))
-    return p, r, iters
+    p_t, r_t, iters = jax.lax.while_loop(cond, body, (p_t, r_t, jnp.int32(0)))
+    return p_t.T, r_t.T, iters
 
 
 @partial(jax.jit, static_argnames=("alpha", "k", "max_iters"))
@@ -172,11 +176,14 @@ def annealed_topk_propagate(
     delta anneals by /4 (:178) until min_delta. Runs entirely on device:
     no host synchronization, no per-round dispatch."""
     alpha_f = jnp.float32(alpha)
-    is_dangling = (g.out_deg == 0) & (g.node_mask > 0)
+    # node-major state [n_pad, B] — see residual_propagate
+    is_dangling = ((g.out_deg == 0) & (g.node_mask > 0))[:, None]
+    p_t, r_t = p.T, r.T
+    src_t = src_onehot.T
 
     def row_done(p_, delta):
         thresh = (1.0 + eps) * delta
-        return jnp.sum((p_ >= thresh).astype(jnp.int32), axis=-1) >= k
+        return jnp.sum((p_ >= thresh).astype(jnp.int32), axis=0) >= k
 
     def cond(state):
         _, _, delta, finished, it = state
@@ -187,15 +194,15 @@ def annealed_topk_propagate(
         p_ = p_ + alpha_f * r_
         rem = (1.0 - alpha_f) * r_
         rem_dang = jnp.where(is_dangling, rem, 0.0)
-        dang_mass = jnp.sum(rem_dang, axis=-1, keepdims=True)
+        dang_mass = jnp.sum(rem_dang, axis=0, keepdims=True)
         rem_out = rem - rem_dang
         pushed = (
-            push_out(g, rem_out) if hs is None
-            else push_out_hybrid(g, hs, rem_out)
+            push_out_t(g, rem_out) if hs is None
+            else push_out_hybrid_t(g, hs, rem_out)
         )
-        r_ = pushed + dang_mass * src_onehot
+        r_ = pushed + dang_mass * src_t
 
-        settled = jnp.max(jnp.sum(r_, axis=-1)) <= eps * delta
+        settled = jnp.max(jnp.sum(r_, axis=0)) <= eps * delta
         done = settled & jnp.all(row_done(p_, delta))
         at_floor = delta <= min_delta
         finished = done | (settled & at_floor)
@@ -204,18 +211,19 @@ def annealed_topk_propagate(
         )
         return p_, r_, delta, finished, it + 1
 
-    p, r, delta, _, iters = jax.lax.while_loop(
+    p_t, r_t, delta, _, iters = jax.lax.while_loop(
         cond, body,
-        (p, r, jnp.float32(delta0), jnp.bool_(False), jnp.int32(0)),
+        (p_t, r_t, jnp.float32(delta0), jnp.bool_(False), jnp.int32(0)),
     )
-    return p, r, iters
+    return p_t.T, r_t.T, iters
 
 
 @partial(jax.jit, static_argnames=("k",))
 def _kth_over_support(p: jax.Array, k: int) -> jax.Array:
     """Per-row k-th largest positive value; 0.0 when support < k (the
-    reference's kth_ppr-null-means-0.0, Fora_Topk.java:171-172)."""
-    vals, _ = jax.lax.top_k(p, k)
+    reference's kth_ppr-null-means-0.0, Fora_Topk.java:171-172 — which also
+    covers k > n: an invalid k never terminates the annealing early)."""
+    vals, _ = jax.lax.top_k(p, min(k, p.shape[-1]))
     kth = vals[..., -1]
     support = jnp.sum((p > 0).astype(jnp.int32), axis=-1)
     return jnp.where(support >= k, kth, 0.0)
@@ -239,12 +247,26 @@ class _ForaCostModel:
 
     hub_split = None
 
-    def enable_hub_split(self, num_hubs: int = 512) -> None:
+    def enable_hub_split(self, num_hubs: int = 512, dtype=None) -> None:
         """Build and use the dense-hub hybrid SpMV in the propagation
-        kernels (~1.8x per sweep on power-law graphs; see ops/hub_split.py)."""
+        kernels (~1.8x per sweep on power-law graphs; see ops/hub_split.py).
+
+        ``dtype=jnp.bfloat16`` halves the hub matrix's HBM traffic and uses
+        the MXU's native bf16 rate (f32 accumulation); ~2^-9 relative error
+        on hub columns — far inside FORA's eps budget."""
         from ..ops.hub_split import build_hub_split
 
-        self.hub_split = build_hub_split(self.graph, num_hubs)
+        kwargs = {} if dtype is None else {"dtype": dtype}
+        self.hub_split = build_hub_split(self.graph, num_hubs, **kwargs)
+
+    def calibrate(self, **kwargs):
+        """Measure real per-walk / per-edge costs on this backend+graph and
+        install them (replaces the baked-in `_default_cost_constants`)."""
+        from ..utils import calibrate as _cal
+
+        constants = _cal.measure(self.graph, alpha=self.alpha, **kwargs)
+        _cal.apply(self, constants)
+        return constants
 
     def _init_cost_constants(self) -> None:
         (
@@ -297,6 +319,8 @@ class ForaWholeGraph(PreprocessingMixin, _ForaCostModel, PPRAlgorithm):
     def compute_whole_graph_batch(self, sources: np.ndarray, param) -> np.ndarray:
         eps = float(param)
         g = self.graph
+        if len(sources) == 0:
+            return np.zeros((0, g.n_pad), np.float32)
         m = max(g.m, 1)
         ln_term = math.log(2.0 / self.pfail)
         rmax = eps * math.sqrt(self.delta / 3.0 / m / ln_term) / (1.0 - self.alpha)
@@ -395,6 +419,8 @@ class ForaTopk(_ForaCostModel, PPRAlgorithm):
         eps = float(param) * 0.5      # eps' = eps/2 (Fora_Topk.java:110)
         k = int(k) if k and k > 0 else self.k
         g = self.graph
+        if len(sources) == 0:
+            return np.zeros((0, g.n_pad), np.float32)
         m = max(g.m, 1)
         ln_term = math.log(2.0 / self.pfail)
         sources_j = jnp.asarray(sources, jnp.int32)

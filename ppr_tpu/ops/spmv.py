@@ -83,6 +83,33 @@ def push_out(g: Graph, a: jax.Array, *, backend: str | None = None) -> jax.Array
     return out.at[..., g.edge_dst].add(contrib)
 
 
+def push_out_t(g: Graph, a_t: jax.Array) -> jax.Array:
+    """``push_out`` on an already-transposed operand ``a_t: [n_pad, B]``.
+
+    The propagation while-loops (models/fora.py) keep their whole state in
+    node-major layout so the per-edge gather reads contiguous ``[B]`` rows
+    and no ``[B, n_pad]`` transpose is materialized per sweep (two full
+    HBM round-trips saved per iteration vs. wrapping :func:`push_out`).
+    """
+    if g.has_dense:
+        # y = a @ D  <=>  y^T = D^T @ a^T: contract both leading axes — no
+        # transpose of either operand is materialized
+        return jax.lax.dot_general(
+            g.dense_out, a_t, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    if g.weighted:
+        contrib_t = jnp.take(a_t, g.edge_src_bydst, axis=0)
+        contrib_t = contrib_t * g.edge_coef_bydst[:, None]
+    else:
+        inv_deg = _safe_inv_deg(g.out_deg)
+        contrib_t = jnp.take(a_t * inv_deg[:, None], g.edge_src_bydst, axis=0)
+    return jax.ops.segment_sum(
+        contrib_t, g.edge_dst_bydst, num_segments=g.n_pad,
+        indices_are_sorted=True,
+    )
+
+
 def push_out_chunked(
     g: Graph, a: jax.Array, *, num_chunks: int = 16
 ) -> jax.Array:

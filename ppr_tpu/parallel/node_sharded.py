@@ -71,11 +71,13 @@ def partition_edges_by_dst(g: Graph, num_shards: int):
 
 
 def make_node_sharded_propagate(mesh: Mesh, g: Graph, alpha: float):
-    """Returns (step_fn, prepare_fn) where step_fn advances (p_l, r_l) one
-    propagation iteration with node-sharded state.
+    """Returns (step_fn, prepare_fn, run_fn).
 
-    ``prepare_fn(sources) -> (p_l, r_l, onehot_l)`` places the initial state
-    sharded over ('data' rows, 'graph' node ranges).
+    ``step_fn(p_l, r_l, onehot_l)`` advances one propagation iteration with
+    node-sharded state; ``run_fn(p_l, r_l, onehot_l, num_iters)`` fuses
+    ``num_iters`` iterations into one dispatch (preferred — see its
+    docstring). ``prepare_fn(sources) -> (p_l, r_l, onehot_l)`` places the
+    initial state sharded over ('data' rows, 'graph' node ranges).
     """
     mesh_shape = dict(zip(mesh.axis_names, mesh.devices.shape))
     s_graph = mesh_shape["graph"]
@@ -170,6 +172,60 @@ def make_node_sharded_propagate(mesh: Mesh, g: Graph, alpha: float):
             )
         )
 
+    def run(p_l, r_l, onehot_l, num_iters: int):
+        """``num_iters`` propagation iterations fused into ONE dispatch
+        (lax.fori_loop inside the jitted shard_map program).
+
+        Always prefer this over a host-side loop around ``step``: besides
+        dispatch overhead, XLA:CPU's collective rendezvous is unreliable
+        when many executions of the same all-gather program are in flight
+        (intermittent SIGABRT on the virtual test mesh); a single fused
+        dispatch sidesteps that entirely and is how the real multi-chip
+        path should run anyway."""
+        return _run_jit(p_l, r_l, onehot_l, jnp.int32(num_iters))
+
+    if coef_d is not None:
+        def _fused(src_e, dst_e, coef_e, inv_deg, dangling, p_l, r_l,
+                   onehot_l, num_iters):
+            def body(_, st):
+                return local_step(src_e, dst_e, coef_e, inv_deg, dangling,
+                                  st[0], st[1], onehot_l)
+            return jax.lax.fori_loop(0, num_iters, body, (p_l, r_l))
+    else:
+        def _fused(src_e, dst_e, inv_deg, dangling, p_l, r_l, onehot_l,
+                   num_iters):
+            def body(_, st):
+                return local_step(src_e, dst_e, None, inv_deg, dangling,
+                                  st[0], st[1], onehot_l)
+            return jax.lax.fori_loop(0, num_iters, body, (p_l, r_l))
+
+    mapped_fused = jax.shard_map(
+        _fused,
+        mesh=mesh,
+        in_specs=edge_specs + (
+            P(), P(),
+            P("data", "graph"), P("data", "graph"),
+            P("data", "graph"),
+            P(),                                     # num_iters scalar
+        ),
+        out_specs=(P("data", "graph"), P("data", "graph")),
+        check_vma=False,
+    )
+    if coef_d is not None:
+        _run_jit = jax.jit(
+            lambda p_l, r_l, onehot_l, it: mapped_fused(
+                src_d, dst_d, coef_d, inv_deg_full, is_dangling_full,
+                p_l, r_l, onehot_l, it,
+            )
+        )
+    else:
+        _run_jit = jax.jit(
+            lambda p_l, r_l, onehot_l, it: mapped_fused(
+                src_d, dst_d, inv_deg_full, is_dangling_full,
+                p_l, r_l, onehot_l, it,
+            )
+        )
+
     def prepare(sources):
         sources = jnp.asarray(sources, jnp.int32)
         onehot = jax.nn.one_hot(sources, g.n_pad, dtype=jnp.float32)
@@ -180,4 +236,4 @@ def make_node_sharded_propagate(mesh: Mesh, g: Graph, alpha: float):
             jax.device_put(onehot, state_spec),
         )
 
-    return step, prepare
+    return step, prepare, run

@@ -35,7 +35,15 @@ class TopKHit:
 class PPRService:
     def __init__(self, dataset: Dataset, alpha: float = 0.15, *,
                  eps: float = 0.5, k: int = 10, seed: int = 0,
-                 algorithm: AlgoType = AlgoType.FORA_TOPK):
+                 algorithm: AlgoType = AlgoType.FORA_TOPK,
+                 hub_split: int | None = None, hub_dtype=None,
+                 calibrate: bool = False):
+        """``hub_split=H`` enables the dense-hub hybrid SpMV with H hubs in
+        the FORA serving kernels (bf16 hub matrix unless ``hub_dtype``
+        overrides — the measured-fastest serving config on power-law
+        graphs). ``calibrate=True`` measures the real per-walk / per-edge
+        costs on this backend+graph at startup instead of the baked-in
+        constants (PERF.md round-2 roadmap item)."""
         self.dataset = dataset
         self.eps = eps
         self.k = k
@@ -46,6 +54,23 @@ class PPRService:
             if algorithm == AlgoType.FORA_TOPK else algorithm,
             dataset, k,
         )
+        if hub_split:
+            import jax.numpy as jnp
+
+            dtype = hub_dtype if hub_dtype is not None else jnp.bfloat16
+            for algo in (self._topk_algo, self._wg_algo):
+                if hasattr(algo, "enable_hub_split") and not dataset.graph.weighted:
+                    algo.enable_hub_split(hub_split, dtype=dtype)
+        if calibrate:
+            constants = None
+            for algo in (self._topk_algo, self._wg_algo):
+                if hasattr(algo, "calibrate"):
+                    if constants is None:
+                        constants = algo.calibrate()
+                    else:  # same backend+graph: reuse the measurement
+                        from .utils import calibrate as _cal
+
+                        _cal.apply(algo, constants)
 
     @classmethod
     def from_dataset(cls, dataset: Dataset, **kwargs) -> "PPRService":

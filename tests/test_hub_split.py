@@ -33,6 +33,79 @@ def test_hybrid_matches_reference_backend(skewed, num_hubs):
     np.testing.assert_allclose(hyb1, ref[0], atol=1e-4)
 
 
+@pytest.mark.parametrize("num_hubs", [16, 400])
+def test_hybrid_transposed_matches(skewed, num_hubs):
+    from ppr_tpu.ops.hub_split import push_out_hybrid_t
+
+    g = skewed
+    hs = build_hub_split(g, num_hubs)
+    rng = np.random.default_rng(10)
+    a = np.zeros((3, g.n_pad), np.float32)
+    a[:, : g.n] = rng.random((3, g.n))
+    ref = np.asarray(push_out(g, jnp.asarray(a), backend="coo"))
+    hyb_t = np.asarray(push_out_hybrid_t(g, hs, jnp.asarray(a.T)))
+    np.testing.assert_allclose(hyb_t.T, ref, atol=1e-4)
+
+
+def test_hybrid_bf16_hub_matrix(skewed):
+    from ppr_tpu.ops.hub_split import push_out_hybrid_t
+
+    g = skewed
+    hs = build_hub_split(g, 64, dtype=jnp.bfloat16)
+    assert hs.hub_matrix.dtype == jnp.bfloat16
+    rng = np.random.default_rng(11)
+    a = np.zeros((2, g.n_pad), np.float32)
+    a[:, : g.n] = rng.random((2, g.n))
+    ref = np.asarray(push_out(g, jnp.asarray(a), backend="coo"))
+    hyb = np.asarray(push_out_hybrid(g, hs, jnp.asarray(a)))
+    hyb_t = np.asarray(push_out_hybrid_t(g, hs, jnp.asarray(a.T))).T
+    # bf16 operand cast: ~2^-9 relative on the hub columns
+    np.testing.assert_allclose(hyb, ref, rtol=5e-3, atol=5e-3)
+    np.testing.assert_allclose(hyb_t, ref, rtol=5e-3, atol=5e-3)
+    assert hyb.dtype == np.float32
+
+
+def test_push_out_t_matches(skewed):
+    from ppr_tpu.ops.spmv import push_out_t
+
+    g = skewed
+    rng = np.random.default_rng(12)
+    a = np.zeros((4, g.n_pad), np.float32)
+    a[:, : g.n] = rng.random((4, g.n))
+    ref = np.asarray(push_out(g, jnp.asarray(a), backend="coo"))
+    out_t = np.asarray(push_out_t(g, jnp.asarray(a.T)))
+    np.testing.assert_allclose(out_t.T, ref, atol=1e-4)
+
+
+def test_push_out_t_dense_backend(got):
+    from ppr_tpu.ops.spmv import push_out_t
+
+    g = got.graph
+    assert g.has_dense
+    rng = np.random.default_rng(14)
+    a = np.zeros((3, g.n_pad), np.float32)
+    a[:, : g.n] = rng.random((3, g.n))
+    ref = np.asarray(push_out(g, jnp.asarray(a), backend="coo"))
+    out_t = np.asarray(push_out_t(g, jnp.asarray(a.T)))
+    np.testing.assert_allclose(out_t.T, ref, atol=1e-4)
+
+
+def test_push_out_t_weighted():
+    from ppr_tpu.ops.spmv import push_out_t
+
+    rng = np.random.default_rng(13)
+    n, m = 120, 900
+    src = rng.integers(0, n, m)
+    dst = rng.integers(0, n, m)
+    w = rng.random(m) + 0.05
+    g = build_graph(src, dst, n=n, weights=w, dense_threshold=0)
+    a = np.zeros((2, g.n_pad), np.float32)
+    a[:, :n] = rng.random((2, n))
+    ref = np.asarray(push_out(g, jnp.asarray(a), backend="coo_sorted"))
+    out_t = np.asarray(push_out_t(g, jnp.asarray(a.T)))
+    np.testing.assert_allclose(out_t.T, ref, atol=1e-4)
+
+
 def test_hub_split_edge_partition(skewed):
     g = skewed
     hs = build_hub_split(g, 32)

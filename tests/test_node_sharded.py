@@ -19,11 +19,14 @@ def test_node_sharded_propagate_matches_power_method(got, mesh8):
 
     g = got.graph
     assert g.n_pad % 4 == 0
-    step, prepare = make_node_sharded_propagate(mesh8, g, ALPHA)
+    step, prepare, run = make_node_sharded_propagate(mesh8, g, ALPHA)
     sources = np.array([3, 11, 42, 64])
     p, r, onehot = prepare(sources)
-    for _ in range(60):
-        p, r = step(p, r, onehot)
+    # single-step API once (synchronized: host-loop dispatch trains of CPU
+    # collectives are unreliable — see node_sharded.run docstring)
+    p, r = jax.block_until_ready(step(p, r, onehot))
+    # the remaining iterations in one fused dispatch
+    p, r = run(p, r, onehot, 59)
 
     ref = np.asarray(
         power_method_batch(g, jnp.asarray(sources, jnp.int32), ALPHA, 60)
@@ -66,11 +69,10 @@ def test_node_sharded_weighted_matches_oracle(mesh8):
     g = build_graph(src, dst, n=n, weights=w, dense_threshold=0)
     assert g.n_pad % 4 == 0
 
-    step, prepare = make_node_sharded_propagate(mesh8, g, ALPHA)
+    step, prepare, run = make_node_sharded_propagate(mesh8, g, ALPHA)
     sources = np.array([3, 77])
     p, r, onehot = prepare(sources)
-    for _ in range(50):
-        p, r = step(p, r, onehot)
+    p, r = run(p, r, onehot, 50)
 
     ref = np.asarray(
         power_method_batch(g, jnp.asarray(sources, jnp.int32), ALPHA, 50)

@@ -1,3 +1,4 @@
+import jax.numpy as jnp
 import numpy as np
 
 
@@ -28,3 +29,21 @@ def test_service_whole_graph(got):
     dense = svc.whole_graph([7])
     assert dense.shape == (1, got.n)
     np.testing.assert_allclose(dense.sum(), 1.0, atol=0.02)
+
+
+def test_service_hub_split_and_calibrate(got):
+    from ppr_tpu.service import PPRService
+
+    svc = PPRService.from_dataset(got, hub_split=16, calibrate=True)
+    assert svc._topk_algo.hub_split is not None
+    assert svc._topk_algo.hub_split.hub_matrix.dtype == jnp.bfloat16
+    # calibration installed measured (positive) constants on both algos
+    for algo in (svc._topk_algo, svc._wg_algo):
+        assert algo.avg_rand_walk_time_ns > 0
+        assert algo.spmv_ns_per_edge > 0
+
+    plain = PPRService.from_dataset(got)
+    a = svc.top_k([3, 14], k=10)
+    b = plain.top_k([3, 14], k=10)
+    assert [h.node for h in a[0]] == [h.node for h in b[0]]
+    assert [h.node for h in a[1]] == [h.node for h in b[1]]
