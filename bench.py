@@ -156,15 +156,18 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=65536)
     ap.add_argument("--deg", type=int, default=16)
-    ap.add_argument("--batch", type=int, default=256)
+    ap.add_argument("--batch", type=int, default=512)
     ap.add_argument("--eps", type=float, default=0.5)
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--alpha", type=float, default=0.15)
     ap.add_argument("--cpu-queries", type=int, default=2)
     ap.add_argument("--acc-queries", type=int, default=8)
     ap.add_argument("--quick", action="store_true")
-    ap.add_argument("--hub-split", action="store_true",
-                    help="use the dense-hub hybrid SpMV in the serving path")
+    ap.add_argument("--no-hub-split", action="store_true",
+                    help="disable the dense-hub hybrid SpMV (default: auto "
+                         "hub count, bf16 hub matrix)")
+    ap.add_argument("--hub-split", type=int, default=None,
+                    help="override the auto hub count")
     args = ap.parse_args()
     if args.quick:
         args.n, args.deg, args.batch = 4096, 8, 8
@@ -188,20 +191,27 @@ def main():
 
     conf = AlgoConf(args.alpha, seed=7)
     fora = conf.set_conf_fora_topk(ds, args.k)
-    if args.hub_split:
-        # dense-hub hybrid SpMV: ~1.8x per propagation sweep in isolation
-        # (PERF.md); opt-in here because the larger program compiles longer
-        # through this environment's flaky remote-compile tunnel
-        fora.enable_hub_split(512)
+    if not args.no_hub_split:
+        # dense-hub hybrid SpMV, bf16 hub matrix: 2.5x per annealed-loop
+        # sweep at the auto hub count on this graph (PERF.md)
+        import jax.numpy as jnp
+
+        fora.enable_hub_split(args.hub_split or "auto", dtype=jnp.bfloat16)
 
     # warmup (compile) then timed runs. If the device path fails outright
     # (e.g. remote-compile outage), still emit a valid result line from the
     # CPU engine so the run records something rather than nothing.
     try:
-        fora.compute_topk_batch(sources, args.k, args.eps)
+        from ppr_tpu.ops.topk import topk_ids_with_ties_from_pairs
+
+        fora.compute_topk_ids_batch(sources, args.k, args.eps)
         t0 = time.perf_counter()
-        scores = fora.compute_topk_batch(sources, args.k, args.eps)
+        vals, ids = fora.compute_topk_ids_batch(sources, args.k, args.eps)
         tpu_s = time.perf_counter() - t0
+        algo_ids_rows = [
+            topk_ids_with_ties_from_pairs(vals[i], ids[i], args.k)
+            for i in range(args.acc_queries)
+        ]
         device = str(jax.devices()[0])
     except Exception as e:  # noqa: BLE001
         # the jax backend cannot be switched mid-process; fall back to the
@@ -221,6 +231,10 @@ def main():
             [np.stack(rows).astype(np.float32), pad], axis=1
         )
         sources = sources[: len(rows)]
+        algo_ids_rows = [
+            topk_ids_with_ties(scores[i], args.k)
+            for i in range(min(len(rows), args.acc_queries))
+        ]
         device = "cpu-fallback"
     tpu_qps = args.batch / tpu_s
 
@@ -235,10 +249,9 @@ def main():
             )
         )
     precs = []
-    for i in range(len(acc_sources)):
+    for i in range(min(len(acc_sources), len(algo_ids_rows))):
         gnd = topk_ids_with_ties(oracle[i], args.k)
-        algo = topk_ids_with_ties(scores[i], args.k)
-        precs.append(precision_at_k(algo, gnd))
+        precs.append(precision_at_k(algo_ids_rows[i], gnd))
     recall = float(np.mean(precs))
 
     # CPU baseline

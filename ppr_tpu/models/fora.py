@@ -218,6 +218,21 @@ def annealed_topk_propagate(
     return p_t.T, r_t.T, iters
 
 
+@partial(jax.jit, static_argnames=("kcap",))
+def _device_topk_epilogue(g: Graph, sources: jax.Array, p: jax.Array,
+                          src_onehot: jax.Array, kcap: int):
+    """Dangling-source short-circuit + device top-(kcap) selection.
+
+    One fused program so the host receives only ``[B, kcap]`` values/ids —
+    the dense ``[B, n_pad]`` result never crosses the (slow, tunneled)
+    device->host link. kcap > k leaves room for the reference's tie
+    expansion (ids with value == k-th are all returned)."""
+    deg_src = jnp.take(g.out_deg, sources)[:, None]
+    p = jnp.where(deg_src == 0, src_onehot, p)
+    vals, ids = jax.lax.top_k(p, kcap)
+    return vals, ids
+
+
 @partial(jax.jit, static_argnames=("k",))
 def _kth_over_support(p: jax.Array, k: int) -> jax.Array:
     """Per-row k-th largest positive value; 0.0 when support < k (the
@@ -247,7 +262,8 @@ class _ForaCostModel:
 
     hub_split = None
 
-    def enable_hub_split(self, num_hubs: int = 512, dtype=None) -> None:
+    def enable_hub_split(self, num_hubs: int | str = "auto",
+                         dtype=None) -> None:
         """Build and use the dense-hub hybrid SpMV in the propagation
         kernels (~1.8x per sweep on power-law graphs; see ops/hub_split.py).
 
@@ -416,11 +432,51 @@ class ForaTopk(_ForaCostModel, PPRAlgorithm):
         self._init_cost_constants()
 
     def compute_topk_batch(self, sources: np.ndarray, k: int, param) -> np.ndarray:
-        eps = float(param) * 0.5      # eps' = eps/2 (Fora_Topk.java:110)
+        """Dense [B, n_pad] top-k scores (host copy — O(B*n) transfer).
+
+        For serving, prefer :meth:`compute_topk_ids_batch`: on a tunneled
+        device the dense device->host copy dominates end-to-end latency
+        (measured 0.96 s compute vs ~6 s transfer at B=512, n=65536)."""
         k = int(k) if k and k > 0 else self.k
         g = self.graph
         if len(sources) == 0:
             return np.zeros((0, g.n_pad), np.float32)
+        result, sources_j, src_onehot = self._compute_topk_device(
+            sources, k, param
+        )
+        result, _ = apply_dangling_source_shortcircuit(
+            g, sources_j, result, jnp.zeros_like(result), src_onehot
+        )
+        return np.asarray(result)
+
+    def compute_topk_ids_batch(self, sources: np.ndarray, k: int, param, *,
+                               kcap: int | None = None):
+        """Serving path: returns (values [B, K], ids [B, K]) numpy, selected
+        on device — only O(B*K) crosses the device->host link.
+
+        K = ``kcap`` (default min(max(4k, k+32), n_pad)) leaves room for the
+        reference's tie semantics (every id with value == k-th is part of
+        the answer, Forward_Push.java:413-429); consumers expand ties from
+        the returned slack columns."""
+        k = int(k) if k and k > 0 else self.k
+        g = self.graph
+        if len(sources) == 0:
+            return (np.zeros((0, 0), np.float32), np.zeros((0, 0), np.int64))
+        result, sources_j, src_onehot = self._compute_topk_device(
+            sources, k, param
+        )
+        kcap = int(kcap) if kcap else min(max(4 * k, k + 32), g.n_pad)
+        kcap = min(kcap, g.n_pad)
+        vals, ids = _device_topk_epilogue(g, sources_j, result, src_onehot,
+                                          kcap)
+        return np.asarray(vals), np.asarray(ids)
+
+    def _compute_topk_device(self, sources: np.ndarray, k: int, param):
+        """Shared device-side computation; returns (result, sources_j,
+        src_onehot) with ``result`` still on device and WITHOUT the
+        dangling-source short-circuit applied."""
+        eps = float(param) * 0.5      # eps' = eps/2 (Fora_Topk.java:110)
+        g = self.graph
         m = max(g.m, 1)
         ln_term = math.log(2.0 / self.pfail)
         sources_j = jnp.asarray(sources, jnp.int32)
@@ -445,10 +501,7 @@ class ForaTopk(_ForaCostModel, PPRAlgorithm):
                 g, p, r, src_onehot, jnp.float32(eps),
                 delta, self.min_delta, k, self.alpha, hs=self.hub_split,
             )
-            result, _ = apply_dangling_source_shortcircuit(
-                g, sources_j, p, jnp.zeros_like(p), src_onehot
-            )
-            return np.asarray(result)
+            return p, sources_j, src_onehot
 
         while True:
             rmax = eps * math.sqrt(delta / 3.0 / m / ln_term)
@@ -493,10 +546,7 @@ class ForaTopk(_ForaCostModel, PPRAlgorithm):
                 break
             delta = max(self.min_delta, delta / 4.0)
 
-        result, _ = apply_dangling_source_shortcircuit(
-            g, sources_j, result, jnp.zeros_like(result), src_onehot
-        )
-        return np.asarray(result)
+        return result, sources_j, src_onehot
 
     def _spmv_completion_ns(self, rsum: float, target: float,
                             batch: int) -> float:

@@ -44,8 +44,33 @@ class HubSplit:
     m_tail: int = dataclasses.field(metadata=dict(static=True))
 
 
+def auto_num_hubs(
+    g: Graph,
+    dtype=np.float32,
+    *,
+    tail_ns_per_edge: float = 12.0,
+    hbm_gbps: float = 800.0,
+    max_matrix_bytes: int = 4 << 30,
+) -> int:
+    """Marginal-benefit hub count: include node v as a hub while the sparse
+    cost of its incoming edges (``in_deg(v) * tail_ns_per_edge``) exceeds
+    the per-sweep HBM cost of one more dense matrix column
+    (``n_pad * itemsize / bandwidth``). Constants measured on TPU v5e
+    (PERF.md); the rule only needs them to within ~2x.
+
+    Capped so the matrix stays under ``max_matrix_bytes``; rounded to a
+    multiple of 128 lanes."""
+    itemsize = np.dtype(dtype).itemsize if dtype != jnp.bfloat16 else 2
+    col_ns = g.n_pad * itemsize / hbm_gbps  # bytes / (GB/s) == ns
+    min_deg = max(col_ns / tail_ns_per_edge, 1.0)
+    in_deg = np.asarray(g.in_deg)[: g.n]
+    h = int((in_deg > min_deg).sum())
+    h = min(h, max_matrix_bytes // max(g.n_pad * itemsize, 1), g.n)
+    return max(128, (h // 128) * 128) if h else 128
+
+
 def build_hub_split(
-    g: Graph, num_hubs: int = 512, dtype=np.float32
+    g: Graph, num_hubs: int | str = 512, dtype=np.float32
 ) -> HubSplit:
     """Host-side construction from the dst-sorted edge view.
 
@@ -57,6 +82,8 @@ def build_hub_split(
     """
     if g.weighted:
         raise NotImplementedError("hub split supports uniform graphs")
+    if num_hubs == "auto":
+        num_hubs = auto_num_hubs(g, dtype)
     num_hubs = int(min(num_hubs, g.n))
     in_deg = np.asarray(g.in_deg)[: g.n]
     hub_ids = np.argsort(-in_deg, kind="stable")[:num_hubs].astype(np.int32)

@@ -56,6 +56,24 @@ def topk_ids_with_ties(values: np.ndarray, k: int, *, support=None) -> np.ndarra
     return chosen[order]
 
 
+def topk_ids_with_ties_from_pairs(vals_row: np.ndarray, ids_row: np.ndarray,
+                                  k: int) -> np.ndarray:
+    """Tie-expanded top-k over a device-selected (values, ids) row pair
+    (descending, length kcap >= k) — same semantics as
+    :func:`topk_ids_with_ties` without needing the dense vector. Ties
+    extending beyond the kcap window are truncated; callers that need exact
+    tie sets detect ``vals_row[-1] >= kth`` and fall back to the dense path.
+    """
+    vals_row = np.asarray(vals_row)
+    ids_row = np.asarray(ids_row)
+    sup = vals_row > 0.0
+    v, i = vals_row[sup], ids_row[sup]
+    if v.size <= k:
+        return i
+    kth = v[k - 1]
+    return i[v >= kth]
+
+
 def kth_ppr(values: np.ndarray, k: int):
     """Host quickselect-parity helper: k-th largest, or None when k is invalid
     (k <= 0 or k > len(values)) — Algo_Util.java:39-53 returns null then."""

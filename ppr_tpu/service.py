@@ -82,7 +82,40 @@ class PPRService:
         beyond k included, reference semantics)."""
         k = k or self.k
         sources = np.asarray(sources)
-        scores = self._topk_algo.compute_topk_batch(sources, k, eps or self.eps)
+        eps = eps or self.eps
+        algo = self._topk_algo
+        if hasattr(algo, "compute_topk_ids_batch"):
+            # serving path: device-side selection, O(B*K) host transfer
+            vals, ids = algo.compute_topk_ids_batch(sources, k, eps)
+            out = []
+            dense_rows = []
+            for b, (vrow, irow) in enumerate(zip(vals, ids)):
+                sup = vrow > 0.0
+                v, i = vrow[sup], irow[sup]
+                if v.size > k:
+                    keep = v >= v[k - 1]
+                    v, i = v[keep], i[keep]
+                # tie set may extend past the selection window (every window
+                # slot kept): fall back to the dense path for such rare rows
+                if v.size == vrow.size and vrow.size and vrow[-1] > 0.0:
+                    dense_rows.append(b)
+                    out.append(None)
+                else:
+                    out.append([
+                        TopKHit(int(n), float(s), self.dataset.names[int(n)])
+                        for s, n in zip(v, i)
+                    ])
+            if dense_rows:
+                scores = algo.compute_topk_batch(sources[dense_rows], k, eps)
+                for b, row in zip(dense_rows, np.asarray(scores)):
+                    row_ids = topk_ids_with_ties(row, k)
+                    out[b] = [
+                        TopKHit(int(v), float(row[v]),
+                                self.dataset.names[int(v)])
+                        for v in row_ids
+                    ]
+            return out
+        scores = algo.compute_topk_batch(sources, k, eps)
         out = []
         for row in np.asarray(scores):
             ids = topk_ids_with_ties(row, k)

@@ -40,6 +40,12 @@ def main():
     ap.add_argument("--deg", type=int, default=16)
     ap.add_argument("--batch", type=int, default=256)
     ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--hubs", default="512,2048,4096",
+                    help="comma list of hub counts to profile")
+    ap.add_argument("--skip-plain", action="store_true")
+    ap.add_argument("--skip-f32", action="store_true")
+    ap.add_argument("--skip-residual", action="store_true",
+                    help="only time the annealed loop")
     args = ap.parse_args()
     if args.quick:
         args.n, args.deg, args.batch = 4096, 8, 32
@@ -66,14 +72,16 @@ def main():
     alpha, eps, k = 0.15, 0.25, 10  # eps' = 0.5/2 as the serving path uses
     target = jnp.float32(1e-6)
 
-    variants = [("plain", None)]
-    for h, dt in ((512, jnp.float32), (512, jnp.bfloat16),
-                  (2048, jnp.bfloat16), (4096, jnp.bfloat16)):
-        name = f"hub{h}_{'bf16' if dt == jnp.bfloat16 else 'f32'}"
-        variants.append((name, build_hub_split(g, h, dtype=dt)))
+    variants = [] if args.skip_plain else [("plain", None)]
+    hub_list = [int(h) for h in args.hubs.split(",") if h]
+    for h in hub_list:
+        for dt in ((jnp.bfloat16,) if args.skip_f32 else
+                   (jnp.float32, jnp.bfloat16)):
+            name = f"hub{h}_{'bf16' if dt == jnp.bfloat16 else 'f32'}"
+            variants.append((name, build_hub_split(g, h, dtype=dt)))
 
     results = {}
-    for name, hs in variants:
+    for name, hs in variants if not args.skip_residual else []:
         t_compile = time.perf_counter()
         p, r, iters = residual_propagate(g, p0, r0, onehot, target, alpha,
                                          hs=hs)
@@ -93,8 +101,8 @@ def main():
         print(json.dumps({name: results[name]}), flush=True)
 
     # full annealed serving loop for the interesting variants
-    for name, hs in [("plain", None)] + [
-        (n_, h_) for n_, h_ in variants if "bf16" in n_
+    for name, hs in [
+        (n_, h_) for n_, h_ in variants if n_ == "plain" or "bf16" in n_
     ]:
         tag = f"annealed_{name}"
         t_compile = time.perf_counter()

@@ -106,6 +106,19 @@ def test_push_out_t_weighted():
     np.testing.assert_allclose(out_t.T, ref, atol=1e-4)
 
 
+def test_auto_num_hubs(skewed):
+    from ppr_tpu.ops.hub_split import auto_num_hubs
+
+    h32 = auto_num_hubs(skewed)
+    h16 = auto_num_hubs(skewed, jnp.bfloat16)
+    assert h32 >= 128 and h16 >= 128
+    assert h16 >= h32  # cheaper columns admit more hubs
+    assert h32 % 128 == 0
+    # "auto" accepted end to end
+    hs = build_hub_split(skewed, "auto", dtype=jnp.bfloat16)
+    assert hs.num_hubs >= 128
+
+
 def test_hub_split_edge_partition(skewed):
     g = skewed
     hs = build_hub_split(g, 32)
