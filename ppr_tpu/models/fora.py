@@ -548,20 +548,9 @@ class ForaTopk(_ForaCostModel, PPRAlgorithm):
 
         return result, sources_j, src_onehot
 
-    def _spmv_completion_ns(self, rsum: float, target: float,
-                            batch: int) -> float:
-        """Estimated per-query cost of deterministic completion."""
-        iters = _completion_iters(rsum, target, self.alpha)
-        per_batch = iters * self.spmv_ns_per_edge * max(self.graph.m, 1)
-        return per_batch / max(batch, 1) if self.spmv_batch_amortized \
-            else per_batch
+    # cost-model methods (_spmv_completion_ns / _use_spmv) come from
+    # _ForaCostModel
 
-    def _use_spmv(self, omega: float, rsum: float, target: float,
-                  batch: int = 1) -> bool:
-        if self.completion != "auto":
-            return self.completion == "spmv"
-        walk_cost = self.avg_rand_walk_time_ns * omega * rsum
-        return self._spmv_completion_ns(rsum, target, batch) < walk_cost
 
     def compute_whole_graph_batch(self, sources, param):  # top-k only algo
         return self.compute_topk_batch(sources, self.k, param)

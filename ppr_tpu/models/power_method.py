@@ -24,33 +24,57 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..graph.csr import Graph
-from ..ops.spmv import push_out
+from ..ops.spmv import push_out_t
 from .base import PPRAlgorithm
 
 
+def power_method_batch(g, sources, alpha, iterations: int = 100):
+    """Dense f32[B, n_pad] PPR for a batch of sources (see `_power_method_jit`).
+
+    Pads the batch up to 8 rows: B < 8 leaves the [n_pad, B] state narrower
+    than a vector sublane tile, which has faulted the remote TPU worker on
+    million-node graphs (B=4 crashed reproducibly; B>=8 never has)."""
+    sources = jnp.asarray(sources, jnp.int32)
+    b = sources.shape[0]
+    if b == 0:
+        return jnp.zeros((0, g.n_pad), jnp.float32)
+    pad = max(0, 8 - b)
+    if pad:
+        sources = jnp.concatenate(
+            [sources, jnp.zeros((pad,), jnp.int32)]
+        )
+    out = _power_method_jit(g, sources, alpha, iterations)
+    return out[:b] if pad else out
+
+
 @partial(jax.jit, static_argnames=("alpha", "iterations"))
-def power_method_batch(
+def _power_method_jit(
     g: Graph,
     sources: jax.Array,       # int32[B]
     alpha: float,
     iterations: int = 100,
 ) -> jax.Array:
-    """Dense f32[B, n_pad] PPR for each source via synchronous propagation."""
+    """Dense f32[B, n_pad] PPR for each source via synchronous propagation.
+
+    Runs node-major ([n_pad, B] state) like the serving loops: contiguous
+    per-edge gathers, no per-iteration transposes (see ops/spmv.push_out_t).
+    """
     src_onehot = jax.nn.one_hot(sources, g.n_pad, dtype=jnp.float32)
-    is_dangling = (g.out_deg == 0) & (g.node_mask > 0)
+    is_dangling = ((g.out_deg == 0) & (g.node_mask > 0))[:, None]
+    src_t = src_onehot.T
 
     def body(_, state):
         p, r = state
         p = p + alpha * r
         rem = (1.0 - alpha) * r
         rem_dang = jnp.where(is_dangling, rem, 0.0)
-        dang_mass = jnp.sum(rem_dang, axis=-1, keepdims=True)
-        r = push_out(g, rem - rem_dang) + dang_mass * src_onehot
+        dang_mass = jnp.sum(rem_dang, axis=0, keepdims=True)
+        r = push_out_t(g, rem - rem_dang) + dang_mass * src_t
         return p, r
 
-    p0 = jnp.zeros_like(src_onehot)
-    p, _ = jax.lax.fori_loop(0, iterations, body, (p0, src_onehot))
-    return p
+    p0 = jnp.zeros_like(src_t)
+    p, _ = jax.lax.fori_loop(0, iterations, body, (p0, src_t))
+    return p.T
 
 
 class PowerMethod(PPRAlgorithm):

@@ -66,7 +66,8 @@ def _ppr_kernel(iters: int, alpha: float, dangling_to_source: bool):
             r_dang = r * dang
             dang_mass = jnp.sum(r_dang, axis=-1, keepdims=True)
             pushed = jnp.dot(
-                r - r_dang, w_ref[:], preferred_element_type=jnp.float32
+                r - r_dang, w_ref[:], preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
             )
             if dangling_to_source:
                 r = inv_keep * (pushed + dang_mass * onehot)
@@ -87,7 +88,8 @@ def _pagerank_kernel(iters: int, damping: float):
 
         def body(_, x):
             return base + damping * jnp.dot(
-                x, w_ref[:], preferred_element_type=jnp.float32
+                x, w_ref[:], preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
             )
 
         p_ref[:] = jax.lax.fori_loop(0, iters, body, base)

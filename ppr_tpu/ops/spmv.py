@@ -45,7 +45,12 @@ def push_out(g: Graph, a: jax.Array, *, backend: str | None = None) -> jax.Array
     if backend is None:
         backend = "dense" if g.has_dense else "coo_sorted"
     if backend == "dense":
-        return jnp.matmul(a, g.dense_out, preferred_element_type=jnp.float32)
+        # Precision.HIGHEST: the TPU's default matmul truncates f32 inputs
+        # to bf16, which costs ~2.5e-3 of mass per propagation pass — fatal
+        # for an oracle. The dense backend only triggers on small graphs,
+        # where full-precision passes are still instant on the MXU.
+        return jnp.matmul(a, g.dense_out, preferred_element_type=jnp.float32,
+                          precision=jax.lax.Precision.HIGHEST)
     inv_deg = _safe_inv_deg(g.out_deg)
     if backend == "coo_sorted":
         # gather at source along the dst-sorted edge order, then a *sorted*
@@ -93,10 +98,12 @@ def push_out_t(g: Graph, a_t: jax.Array) -> jax.Array:
     """
     if g.has_dense:
         # y = a @ D  <=>  y^T = D^T @ a^T: contract both leading axes — no
-        # transpose of either operand is materialized
+        # transpose of either operand is materialized. Precision.HIGHEST:
+        # see push_out's dense branch.
         return jax.lax.dot_general(
             g.dense_out, a_t, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )
     if g.weighted:
         contrib_t = jnp.take(a_t, g.edge_src_bydst, axis=0)
@@ -157,7 +164,8 @@ def pull_out_norm(g: Graph, a: jax.Array, *, backend: str | None = None) -> jax.
         backend = "dense" if g.has_dense else "coo_sorted"
     if backend == "dense":
         return jnp.matmul(
-            a, g.dense_out.T, preferred_element_type=jnp.float32
+            a, g.dense_out.T, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )
     inv_deg = _safe_inv_deg(g.out_deg)
     if backend == "coo_sorted":

@@ -70,7 +70,11 @@ def scaling_sweep(
         t0 = time.perf_counter()
         for _ in range(iters):
             out = step(*example)
-        jax.block_until_ready(out)
+            # synchronize each call: pipelining collective programs on the
+            # host-platform mesh trips XLA:CPU rendezvous races (see
+            # node_sharded.run); on real chips this only costs dispatch
+            # latency, which is noise at these step sizes
+            jax.block_until_ready(out)
         dt = (time.perf_counter() - t0) / iters
         b = example[0].shape[0]
         qps = b / dt

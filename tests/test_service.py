@@ -47,3 +47,41 @@ def test_service_hub_split_and_calibrate(got):
     b = plain.top_k([3, 14], k=10)
     assert [h.node for h in a[0]] == [h.node for h in b[0]]
     assert [h.node for h in a[1]] == [h.node for h in b[1]]
+
+
+def test_service_topk_tie_window_fallback():
+    """A tie set larger than the device selection window must fall back to
+    the dense path and return the full tie expansion (reference semantics,
+    Forward_Push.java:413-429)."""
+    from ppr_tpu.graph.csr import build_graph
+    from ppr_tpu.graph.io import Dataset
+    from ppr_tpu.service import PPRService
+
+    n = 61
+    src = np.zeros(60, np.int64)
+    dst = np.arange(1, 61)
+    g = build_graph(src, dst, n=n)
+    ds = Dataset(name="star", graph=g, names=[f"n{i}" for i in range(n)])
+    svc = PPRService.from_dataset(ds)
+    row = svc.top_k([0], k=10)[0]
+    # source + all 60 tied leaves
+    assert len(row) == 61
+    leaves = {h.node for h in row if h.node != 0}
+    assert leaves == set(range(1, 61))
+
+
+def test_fora_topk_ids_batch_matches_dense(got):
+    from ppr_tpu.models import AlgoConf
+    from ppr_tpu.ops.topk import (
+        topk_ids_with_ties, topk_ids_with_ties_from_pairs,
+    )
+
+    sources = np.arange(0, got.n, 11)
+    fora = AlgoConf(0.15, seed=5).set_conf_fora_topk(got, 10)
+    fora.completion = "spmv"
+    dense = fora.compute_topk_batch(sources, 10, 0.5)
+    vals, ids = fora.compute_topk_ids_batch(sources, 10, 0.5)
+    for i in range(len(sources)):
+        a = set(topk_ids_with_ties(dense[i], 10).tolist())
+        b = set(topk_ids_with_ties_from_pairs(vals[i], ids[i], 10).tolist())
+        assert a == b
