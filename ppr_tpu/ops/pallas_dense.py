@@ -38,15 +38,82 @@ _ROW_TILE = 8
 _VMEM_OPERATOR_LIMIT = 1024  # n_pad above this exceeds the VMEM budget in f32
 
 
+_CANARY_CODE = """
+import jax, jax.numpy as jnp
+from jax.experimental import pallas as pl
+def k(x_ref, o_ref):
+    o_ref[:] = x_ref[:] * 2.0
+x = jnp.ones((8, 128), jnp.float32)
+y = pl.pallas_call(k, out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype))(x)
+jax.block_until_ready(y)
+"""
+
+_enabled_cache: bool | None = None
+
+
+def _mosaic_canary(timeout_s: float = 45.0, ttl_s: float = 3600.0) -> bool:
+    """Probe whether Mosaic programs compile on this backend right now.
+
+    This environment's remote compile service goes through phases where
+    Mosaic compiles stall for many minutes; a stalled compile would hang the
+    whole engine, so the probe runs a tiny kernel in a *subprocess* under a
+    timeout. The verdict is cached on disk for ``ttl_s`` (tunnel health is
+    phase-like, hours-scale)."""
+    import os
+    import subprocess
+    import sys
+    import time
+
+    cache = os.path.expanduser("~/.cache/ppr_tpu_mosaic_ok")
+    try:
+        with open(cache) as f:
+            ts, verdict = f.read().split()
+        if time.time() - float(ts) < ttl_s:
+            return verdict == "1"
+    except Exception:
+        pass
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", _CANARY_CODE],
+            timeout=timeout_s, capture_output=True,
+        )
+        ok = r.returncode == 0
+    except Exception:  # timeout or spawn failure
+        ok = False
+    try:
+        os.makedirs(os.path.dirname(cache), exist_ok=True)
+        with open(cache, "w") as f:
+            f.write(f"{time.time()} {int(ok)}")
+    except Exception:
+        pass
+    return ok
+
+
 def enabled() -> bool:
-    """Mosaic kernels are opt-in (PPR_TPU_PALLAS=1): the current remote
-    compile service for this TPU frequently stalls on Mosaic programs (5+
-    minutes or hangs), so the default execution path is pure XLA. The kernels
-    stay correctness-tested in interpreter mode (tests/test_pallas_dense.py)
-    and are production-ready where Mosaic compiles locally."""
+    """Whether Mosaic (Pallas) kernels are used on this backend.
+
+    * ``PPR_TPU_PALLAS=1`` / ``=0`` forces on/off.
+    * otherwise (TPU backends): decided by a one-shot subprocess canary
+      compile under a timeout, cached on disk for an hour — the remote
+      compile service has phases where Mosaic programs stall for minutes,
+      and a stalled compile would hang the engine. When healthy, the fused
+      dense kernel measures 16x over the XLA loop on the GOT operator
+      (0.04 ms vs 0.65 ms per 100-iteration batch).
+    * CPU backend: off (kernels stay correctness-tested in interpreter
+      mode, tests/test_pallas_dense.py)."""
     import os
 
-    return os.environ.get("PPR_TPU_PALLAS", "0") == "1"
+    global _enabled_cache
+    env = os.environ.get("PPR_TPU_PALLAS")
+    if env is not None:
+        return env == "1"
+    import jax
+
+    if jax.default_backend() == "cpu":
+        return False
+    if _enabled_cache is None:
+        _enabled_cache = _mosaic_canary()
+    return _enabled_cache
 
 
 def supports(g: Graph) -> bool:

@@ -52,3 +52,16 @@ def test_fused_pagerank_matches_neo4j_method(got):
     fused_norm = np.where(total > 0, fused / total, fused)
     ref = np.asarray(personalized_pagerank_batch(g, sources, damping, 40))
     np.testing.assert_allclose(fused_norm, ref, atol=2e-5)
+
+
+def test_enabled_gating(monkeypatch):
+    from ppr_tpu.ops import pallas_dense
+
+    # env forces win over everything (no subprocess probe)
+    monkeypatch.setenv("PPR_TPU_PALLAS", "1")
+    assert pallas_dense.enabled() is True
+    monkeypatch.setenv("PPR_TPU_PALLAS", "0")
+    assert pallas_dense.enabled() is False
+    # no env + CPU backend: off without probing
+    monkeypatch.delenv("PPR_TPU_PALLAS")
+    assert pallas_dense.enabled() is False  # conftest forces the CPU backend
