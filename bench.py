@@ -210,8 +210,20 @@ def main():
         tpu_s = time.perf_counter() - t0
         algo_ids_rows = [
             topk_ids_with_ties_from_pairs(vals[i], ids[i], args.k)
-            for i in range(args.acc_queries)
+            for i in range(min(args.batch, args.acc_queries))
         ]
+        # tie sets that could extend past the device selection window get
+        # exact (dense) recomputation so reported recall is never understated
+        overflow = [
+            i for i in range(len(algo_ids_rows))
+            if len(algo_ids_rows[i]) == vals.shape[1] and vals[i][-1] > 0.0
+        ]
+        if overflow:
+            dense_rows = fora.compute_topk_batch(
+                sources[overflow], args.k, args.eps
+            )
+            for j, i in enumerate(overflow):
+                algo_ids_rows[i] = topk_ids_with_ties(dense_rows[j], args.k)
         device = str(jax.devices()[0])
     except Exception as e:  # noqa: BLE001
         # the jax backend cannot be switched mid-process; fall back to the

@@ -82,6 +82,21 @@ def _pow2_bucket(x: int) -> int:
     return 1 << max(10, int(math.ceil(math.log2(max(x, 1)))))
 
 
+def _pad_sources(sources, min_b: int = 8):
+    """Pad a source batch to >= 8 rows (with node 0).
+
+    [n_pad, B < 8] node-major state has reproducibly kernel-faulted the
+    remote TPU worker (B=4 crashed on 1M- and 4k-node graphs alike; B >= 8
+    never has). Callers slice results back to the true batch."""
+    sources = np.asarray(sources)
+    b = len(sources)
+    if b >= min_b:
+        return sources, b
+    return np.concatenate(
+        [sources, np.zeros(min_b - b, sources.dtype if sources.size else np.int32)]
+    ), b
+
+
 @partial(jax.jit, static_argnames=("alpha", "cap", "no_zero_hop"))
 def _walk_contrib(
     g: Graph,
@@ -337,6 +352,7 @@ class ForaWholeGraph(PreprocessingMixin, _ForaCostModel, PPRAlgorithm):
         g = self.graph
         if len(sources) == 0:
             return np.zeros((0, g.n_pad), np.float32)
+        sources, true_b = _pad_sources(sources)
         m = max(g.m, 1)
         ln_term = math.log(2.0 / self.pfail)
         rmax = eps * math.sqrt(self.delta / 3.0 / m / ln_term) / (1.0 - self.alpha)
@@ -407,7 +423,7 @@ class ForaWholeGraph(PreprocessingMixin, _ForaCostModel, PPRAlgorithm):
         p, _ = apply_dangling_source_shortcircuit(
             g, sources_j, p, jnp.zeros_like(p), src_onehot
         )
-        return np.asarray(p)
+        return np.asarray(p)[:true_b]
 
 
 class ForaTopk(_ForaCostModel, PPRAlgorithm):
@@ -441,13 +457,14 @@ class ForaTopk(_ForaCostModel, PPRAlgorithm):
         g = self.graph
         if len(sources) == 0:
             return np.zeros((0, g.n_pad), np.float32)
+        sources, b = _pad_sources(sources)
         result, sources_j, src_onehot = self._compute_topk_device(
             sources, k, param
         )
         result, _ = apply_dangling_source_shortcircuit(
             g, sources_j, result, jnp.zeros_like(result), src_onehot
         )
-        return np.asarray(result)
+        return np.asarray(result)[:b]
 
     def compute_topk_ids_batch(self, sources: np.ndarray, k: int, param, *,
                                kcap: int | None = None):
@@ -462,6 +479,7 @@ class ForaTopk(_ForaCostModel, PPRAlgorithm):
         g = self.graph
         if len(sources) == 0:
             return (np.zeros((0, 0), np.float32), np.zeros((0, 0), np.int64))
+        sources, b = _pad_sources(sources)
         result, sources_j, src_onehot = self._compute_topk_device(
             sources, k, param
         )
@@ -469,7 +487,7 @@ class ForaTopk(_ForaCostModel, PPRAlgorithm):
         kcap = min(kcap, g.n_pad)
         vals, ids = _device_topk_epilogue(g, sources_j, result, src_onehot,
                                           kcap)
-        return np.asarray(vals), np.asarray(ids)
+        return np.asarray(vals)[:b], np.asarray(ids)[:b]
 
     def _compute_topk_device(self, sources: np.ndarray, k: int, param):
         """Shared device-side computation; returns (result, sources_j,

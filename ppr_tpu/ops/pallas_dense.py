@@ -39,8 +39,11 @@ _VMEM_OPERATOR_LIMIT = 1024  # n_pad above this exceeds the VMEM budget in f32
 
 
 _CANARY_CODE = """
+import sys
 import jax, jax.numpy as jnp
 from jax.experimental import pallas as pl
+if jax.default_backend() == "cpu":
+    sys.exit(3)  # indeterminate: child got a different backend than parent
 def k(x_ref, o_ref):
     o_ref[:] = x_ref[:] * 2.0
 x = jnp.ones((8, 128), jnp.float32)
@@ -72,21 +75,36 @@ def _mosaic_canary(timeout_s: float = 45.0, ttl_s: float = 3600.0) -> bool:
             return verdict == "1"
     except Exception:
         pass
+    # the child must see the same platform plugins as the parent — this
+    # container registers the axon backend via a sitecustomize reachable
+    # only with /root/.axon_site on PYTHONPATH
+    env = dict(os.environ)
+    axon_site = "/root/.axon_site"
+    if os.path.isdir(axon_site) and axon_site not in env.get("PYTHONPATH", ""):
+        env["PYTHONPATH"] = (
+            axon_site + os.pathsep + env["PYTHONPATH"]
+            if env.get("PYTHONPATH") else axon_site
+        )
+    indeterminate = False
     try:
         r = subprocess.run(
             [sys.executable, "-c", _CANARY_CODE],
-            timeout=timeout_s, capture_output=True,
+            timeout=timeout_s, capture_output=True, env=env,
         )
         ok = r.returncode == 0
-    except Exception:  # timeout or spawn failure
-        ok = False
-    try:
-        os.makedirs(os.path.dirname(cache), exist_ok=True)
-        with open(cache, "w") as f:
-            f.write(f"{time.time()} {int(ok)}")
+        indeterminate = r.returncode == 3  # child saw a different backend
+    except subprocess.TimeoutExpired:
+        ok = False  # a stalled Mosaic compile is exactly what we gate on
     except Exception:
-        pass
-    return ok
+        ok, indeterminate = False, True  # spawn failure: don't cache
+    if not indeterminate:
+        try:
+            os.makedirs(os.path.dirname(cache), exist_ok=True)
+            with open(cache, "w") as f:
+                f.write(f"{time.time()} {int(ok)}")
+        except Exception:
+            pass
+    return ok and not indeterminate
 
 
 def enabled() -> bool:
@@ -117,7 +135,11 @@ def enabled() -> bool:
 
 
 def supports(g: Graph) -> bool:
-    return enabled() and g.has_dense and g.n_pad <= _VMEM_OPERATOR_LIMIT
+    # cheap graph-eligibility checks first: the canary behind enabled()
+    # costs a (once-hourly) subprocess probe and briefly shares the single
+    # tunneled chip with the parent — only ever pay it when a graph could
+    # actually use the kernel
+    return (g.has_dense and g.n_pad <= _VMEM_OPERATOR_LIMIT and enabled())
 
 
 def _ppr_kernel(iters: int, alpha: float, dangling_to_source: bool):

@@ -54,13 +54,19 @@ class PPRService:
             if algorithm == AlgoType.FORA_TOPK else algorithm,
             dataset, k,
         )
-        if hub_split:
+        if hub_split and not dataset.graph.weighted:
             import jax.numpy as jnp
 
+            from .ops.hub_split import build_hub_split
+
             dtype = hub_dtype if hub_dtype is not None else jnp.bfloat16
+            hs = None  # build once, share: the matrix can be gigabytes
             for algo in (self._topk_algo, self._wg_algo):
-                if hasattr(algo, "enable_hub_split") and not dataset.graph.weighted:
-                    algo.enable_hub_split(hub_split, dtype=dtype)
+                if hasattr(algo, "enable_hub_split"):
+                    if hs is None:
+                        hs = build_hub_split(dataset.graph, hub_split,
+                                             dtype=dtype)
+                    algo.hub_split = hs
         if calibrate:
             constants = None
             for algo in (self._topk_algo, self._wg_algo):
