@@ -156,7 +156,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=65536)
     ap.add_argument("--deg", type=int, default=16)
-    ap.add_argument("--batch", type=int, default=512)
+    # serving-batch knee measured on TPU v5e: 442 qps at B=256, 533 at 512,
+    # 628 at 1024, 635 at 2048 (PERF.md) — default to the knee
+    ap.add_argument("--batch", type=int, default=1024)
     ap.add_argument("--eps", type=float, default=0.5)
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--alpha", type=float, default=0.15)

@@ -52,7 +52,7 @@ from ..ops.push import (
     forward_push_sweeps,
 )
 from ..ops.hub_split import push_out_hybrid_t
-from ..ops.spmv import push_out_t
+from ..ops.spmv import push_out_chunked_t, push_out_t
 from ..ops.walk import expand_walkers, weighted_walk_counts
 from .base import PPRAlgorithm, PreprocessingMixin
 
@@ -119,7 +119,7 @@ def _walk_contrib(
     )
 
 
-@partial(jax.jit, static_argnames=("alpha", "max_iters"))
+@partial(jax.jit, static_argnames=("alpha", "max_iters", "num_chunks"))
 def residual_propagate(
     g: Graph,
     p: jax.Array,            # f32[B, n_pad]
@@ -129,6 +129,7 @@ def residual_propagate(
     alpha: float,
     max_iters: int = 400,
     hs=None,                 # optional ops.hub_split.HubSplit (1.8x per sweep)
+    num_chunks: int = 1,     # >1: chunked per-edge gather (huge graphs)
 ):
     """Deterministic residual completion: synchronous propagation iterations
     (p += alpha*r; r <- (1-alpha) P^T r, dangling mass back to the source —
@@ -156,10 +157,12 @@ def residual_propagate(
         rem_dang = jnp.where(is_dangling, rem, 0.0)
         dang_mass = jnp.sum(rem_dang, axis=0, keepdims=True)
         rem_out = rem - rem_dang
-        pushed = (
-            push_out_t(g, rem_out) if hs is None
-            else push_out_hybrid_t(g, hs, rem_out)
-        )
+        if hs is not None:
+            pushed = push_out_hybrid_t(g, hs, rem_out)
+        elif num_chunks > 1:
+            pushed = push_out_chunked_t(g, rem_out, num_chunks=num_chunks)
+        else:
+            pushed = push_out_t(g, rem_out)
         r_ = pushed + dang_mass * src_t
         return p_, r_, it + 1
 
@@ -167,7 +170,7 @@ def residual_propagate(
     return p_t.T, r_t.T, iters
 
 
-@partial(jax.jit, static_argnames=("alpha", "k", "max_iters"))
+@partial(jax.jit, static_argnames=("alpha", "k", "max_iters", "num_chunks"))
 def annealed_topk_propagate(
     g: Graph,
     p: jax.Array,            # f32[B, n_pad]
@@ -180,6 +183,7 @@ def annealed_topk_propagate(
     alpha: float,
     max_iters: int = 600,
     hs=None,                 # optional ops.hub_split.HubSplit
+    num_chunks: int = 1,     # >1: chunked per-edge gather (huge graphs)
 ):
     """The whole FORA top-k delta-annealing loop fused into one while_loop.
 
@@ -211,10 +215,12 @@ def annealed_topk_propagate(
         rem_dang = jnp.where(is_dangling, rem, 0.0)
         dang_mass = jnp.sum(rem_dang, axis=0, keepdims=True)
         rem_out = rem - rem_dang
-        pushed = (
-            push_out_t(g, rem_out) if hs is None
-            else push_out_hybrid_t(g, hs, rem_out)
-        )
+        if hs is not None:
+            pushed = push_out_hybrid_t(g, hs, rem_out)
+        elif num_chunks > 1:
+            pushed = push_out_chunked_t(g, rem_out, num_chunks=num_chunks)
+        else:
+            pushed = push_out_t(g, rem_out)
         r_ = pushed + dang_mass * src_t
 
         settled = jnp.max(jnp.sum(r_, axis=0)) <= eps * delta
@@ -276,6 +282,15 @@ class _ForaCostModel:
     values via :mod:`ppr_tpu.utils.calibrate`."""
 
     hub_split = None
+    #: HBM budget for the per-edge gather intermediate [m_pad, B]; above it
+    #: the propagation loops process edges in sequential chunks
+    spmv_intermediate_budget = 2 << 30
+
+    def _num_chunks(self, batch: int) -> int:
+        if self.hub_split is not None:
+            return 1  # hybrid path gathers only the (smaller) tail
+        bytes_ = self.graph.m_pad * max(batch, 1) * 4
+        return max(1, -(-bytes_ // self.spmv_intermediate_budget))
 
     def enable_hub_split(self, num_hubs: int | str = "auto",
                          dtype=None) -> None:
@@ -405,7 +420,7 @@ class ForaWholeGraph(PreprocessingMixin, _ForaCostModel, PPRAlgorithm):
         if self._use_spmv(omega, rsum_now, target, b):
             p, r, _ = residual_propagate(
                 g, p, r, src_onehot, jnp.float32(target), self.alpha,
-                hs=self.hub_split,
+                hs=self.hub_split, num_chunks=self._num_chunks(b),
             )
         else:
             # the reference's randomized estimator: residual-weighted
@@ -518,6 +533,7 @@ class ForaTopk(_ForaCostModel, PPRAlgorithm):
             p, r, _ = annealed_topk_propagate(
                 g, p, r, src_onehot, jnp.float32(eps),
                 delta, self.min_delta, k, self.alpha, hs=self.hub_split,
+                num_chunks=self._num_chunks(len(sources)),
             )
             return p, sources_j, src_onehot
 
@@ -540,6 +556,7 @@ class ForaTopk(_ForaCostModel, PPRAlgorithm):
                 round_p, _, _ = residual_propagate(
                     g, p, r, src_onehot, jnp.float32(target), self.alpha,
                     hs=self.hub_split,
+                    num_chunks=self._num_chunks(len(sources)),
                 )
             else:
                 num_walk = omega * rsum_rw

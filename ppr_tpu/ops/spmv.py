@@ -117,6 +117,53 @@ def push_out_t(g: Graph, a_t: jax.Array) -> jax.Array:
     )
 
 
+def push_out_chunked_t(
+    g: Graph, a_t: jax.Array, *, num_chunks: int = 16
+) -> jax.Array:
+    """:func:`push_out_t` with the edge dimension processed in sequential
+    chunks (lax.scan), bounding the per-edge intermediate to
+    ``[m_pad/num_chunks, B]`` — the node-major variant of
+    :func:`push_out_chunked`, used by the propagation loops when the full
+    ``[m_pad, B]`` gather would not fit HBM (e.g. 33M edges at B=32)."""
+    if g.weighted:
+        scaled_t = a_t
+    else:
+        scaled_t = a_t * _safe_inv_deg(g.out_deg)[:, None]
+
+    m_pad = g.m_pad
+    chunk = -(-m_pad // num_chunks)
+    pad = chunk * num_chunks - m_pad
+    src_chunks = jnp.pad(
+        g.edge_src_bydst, (0, pad), constant_values=g.n_pad - 1
+    ).reshape(num_chunks, chunk)
+    dst_chunks = jnp.pad(
+        g.edge_dst_bydst, (0, pad), constant_values=g.n_pad - 1
+    ).reshape(num_chunks, chunk)
+    if g.weighted:
+        coef_chunks = jnp.pad(
+            g.edge_coef_bydst, (0, pad)
+        ).reshape(num_chunks, chunk)
+
+    def step(acc, chunks):
+        if g.weighted:
+            src_c, dst_c, coef_c = chunks
+            contrib = jnp.take(scaled_t, src_c, axis=0) * coef_c[:, None]
+        else:
+            src_c, dst_c = chunks
+            contrib = jnp.take(scaled_t, src_c, axis=0)
+        acc = acc + jax.ops.segment_sum(
+            contrib, dst_c, num_segments=g.n_pad, indices_are_sorted=True
+        )
+        return acc, None
+
+    xs = (
+        (src_chunks, dst_chunks, coef_chunks) if g.weighted
+        else (src_chunks, dst_chunks)
+    )
+    out_t, _ = jax.lax.scan(step, jnp.zeros_like(scaled_t), xs)
+    return out_t
+
+
 def push_out_chunked(
     g: Graph, a: jax.Array, *, num_chunks: int = 16
 ) -> jax.Array:
