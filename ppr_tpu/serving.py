@@ -1,0 +1,160 @@
+"""Serve-time micro-batching scheduler.
+
+The engine's per-query cost divides by the batch size until the measured
+HBM/MXU knee (PERF.md: 442 qps at B=256 -> 628 at B=1024 on the headline
+graph), so a production deployment must *coalesce* concurrent queries into
+device batches rather than dispatch them one by one — the reference has no
+serving story at all (its only driver is the sequential benchmark loop,
+Gen_Util.java:146-165).
+
+:class:`PPRBatchServer` wraps a :class:`~ppr_tpu.service.PPRService` with a
+single dispatcher thread (one TPU chip => one device stream; concurrent
+device processes are forbidden on this backend):
+
+* ``submit(source, ...)`` returns a ``concurrent.futures.Future`` at once;
+* the dispatcher drains whatever has queued, groups requests by their
+  ``(k, eps)`` parameters (different params are different compiled
+  programs), and runs one batched ``top_k`` per group;
+* batches are padded up to a power-of-two bucket before hitting the device
+  so the engine compiles O(log max_batch) distinct shapes instead of one
+  per arrival-count — on this backend each new shape is a remote XLA
+  compile costing seconds to minutes (CLAUDE.md), so an unbucketed server
+  would stall on nearly every distinct load level.
+
+The scheduling policy is deliberately "drain, don't wait": while the
+device is busy with batch t, every arrival queues and forms batch t+1.
+Under load the batch size self-regulates toward throughput saturation
+(arrival rate x device latency), and an idle server dispatches a lone
+query immediately — no artificial latency floor. ``max_delay_ms`` adds an
+optional accumulation window for latency-tolerant, bursty clients;
+``max_batch`` caps a dispatch at the knee (excess stays queued).
+"""
+
+from __future__ import annotations
+
+import threading
+from collections import defaultdict
+from concurrent.futures import Future
+from dataclasses import dataclass, field
+
+
+@dataclass
+class ServerStats:
+    requests: int = 0
+    dispatches: int = 0
+    dispatched_rows: int = 0
+    padded_rows: int = 0
+    batch_sizes: list = field(default_factory=list)
+
+    @property
+    def mean_batch(self) -> float:
+        return (self.dispatched_rows / self.dispatches) if self.dispatches else 0.0
+
+
+def _pow2_bucket(b: int, lo: int = 8) -> int:
+    n = lo
+    while n < b:
+        n <<= 1
+    return n
+
+
+class PPRBatchServer:
+    """Micro-batching front end for :class:`~ppr_tpu.service.PPRService`.
+
+    >>> server = PPRBatchServer(svc, max_batch=1024)
+    >>> fut = server.submit(41)           # returns immediately
+    >>> hits = fut.result()               # list[TopKHit] for source 41
+    """
+
+    def __init__(self, service, *, max_batch: int = 1024,
+                 max_delay_ms: float = 0.0, bucket: bool = True):
+        self._svc = service
+        self.max_batch = int(max_batch)
+        self.max_delay_s = float(max_delay_ms) / 1e3
+        self.bucket = bucket
+        self.stats = ServerStats()
+        self._lock = threading.Condition()
+        self._queue: list[tuple[int, int | None, float | None, Future]] = []
+        self._closed = False
+        self._thread = threading.Thread(
+            target=self._dispatch_loop, name="ppr-batch-dispatch", daemon=True
+        )
+        self._thread.start()
+
+    # ------------------------------------------------------------------ API
+    def submit(self, source: int, k: int | None = None,
+               eps: float | None = None) -> Future:
+        """Enqueue one top-k query; resolves to a list of TopKHit."""
+        fut: Future = Future()
+        with self._lock:
+            if self._closed:
+                raise RuntimeError("server is closed")
+            self.stats.requests += 1
+            self._queue.append((int(source), k, eps, fut))
+            self._lock.notify()
+        return fut
+
+    def top_k(self, source: int, k: int | None = None,
+              eps: float | None = None):
+        """Blocking convenience wrapper around :meth:`submit`."""
+        return self.submit(source, k, eps).result()
+
+    def close(self) -> None:
+        """Drain the queue, then stop the dispatcher."""
+        with self._lock:
+            self._closed = True
+            self._lock.notify()
+        self._thread.join()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    # ----------------------------------------------------------- dispatcher
+    def _take_batch(self):
+        """Block until work (or close); return one (k, eps) -> requests dict."""
+        with self._lock:
+            while not self._queue and not self._closed:
+                self._lock.wait()
+            if not self._queue:
+                return None
+            if self.max_delay_s > 0 and len(self._queue) < self.max_batch:
+                # optional accumulation window for bursty clients
+                self._lock.wait(timeout=self.max_delay_s)
+            groups: dict[tuple, list] = defaultdict(list)
+            rest = []
+            for item in self._queue:
+                key = (item[1], item[2])
+                if len(groups[key]) < self.max_batch:
+                    groups[key].append(item)
+                else:
+                    rest.append(item)
+            self._queue = rest
+            return groups
+
+    def _dispatch_loop(self):
+        while True:
+            groups = self._take_batch()
+            if groups is None:
+                return
+            for (k, eps), items in groups.items():
+                sources = [s for s, _, _, _ in items]
+                futs = [f for _, _, _, f in items]
+                b = len(sources)
+                if self.bucket:
+                    width = min(_pow2_bucket(b), max(self.max_batch, 8))
+                    self.stats.padded_rows += width - b
+                    sources = sources + [sources[0]] * (width - b)
+                self.stats.dispatches += 1
+                self.stats.dispatched_rows += b
+                self.stats.batch_sizes.append(b)
+                try:
+                    rows = self._svc.top_k(sources, k=k, eps=eps)
+                except Exception as e:  # noqa: BLE001 - fan the error out
+                    for f in futs:
+                        f.set_exception(e)
+                    continue
+                for f, row in zip(futs, rows):
+                    f.set_result(row)

@@ -1,0 +1,129 @@
+"""Serve-time micro-batching (ppr_tpu/serving.py).
+
+The reference has no serving layer (its only driver is the sequential
+benchmark loop, Gen_Util.java:146-165); these tests pin the net-new
+scheduler: request/response correctness vs the synchronous service,
+coalescing under concurrency, pow2 bucketing, parameter grouping, and
+error fan-out.
+"""
+
+import threading
+
+import numpy as np
+import pytest
+
+from ppr_tpu.service import PPRService
+from ppr_tpu.serving import PPRBatchServer, _pow2_bucket
+
+
+@pytest.fixture(scope="module")
+def svc(got):
+    return PPRService.from_dataset(got, alpha=0.15, k=10, seed=5)
+
+
+def test_pow2_bucket():
+    assert _pow2_bucket(1) == 8
+    assert _pow2_bucket(8) == 8
+    assert _pow2_bucket(9) == 16
+    assert _pow2_bucket(1024) == 1024
+
+
+def test_batch_server_matches_sync(svc):
+    sources = [3, 14, 50, 7, 3]
+    want = svc.top_k(sources, k=10)
+    with PPRBatchServer(svc, max_batch=64) as server:
+        futs = [server.submit(s) for s in sources]
+        got_rows = [f.result(timeout=120) for f in futs]
+    for got_row, want_row in zip(got_rows, want):
+        assert [h.node for h in got_row] == [h.node for h in want_row]
+        np.testing.assert_allclose(
+            [h.score for h in got_row], [h.score for h in want_row]
+        )
+    assert server.stats.requests == len(sources)
+    assert server.stats.dispatched_rows == len(sources)
+
+
+def test_batch_server_coalesces(svc):
+    """Concurrent submissions end up in shared dispatches (fewer dispatches
+    than requests), and pow2 bucketing pads the device batch."""
+    n_req = 24
+    with PPRBatchServer(svc, max_batch=64, max_delay_ms=30) as server:
+        futs = []
+        barrier = threading.Barrier(8)
+
+        def client(base):
+            barrier.wait()
+            for s in range(base, base + 3):
+                futs.append(server.submit(s % 20))
+
+        threads = [threading.Thread(target=client, args=(i * 3,))
+                   for i in range(8)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        rows = [f.result(timeout=120) for f in futs]
+    assert len(rows) == n_req
+    assert all(len(r) >= 1 for r in rows)
+    assert server.stats.requests == n_req
+    assert server.stats.dispatches < n_req  # actually coalesced
+    assert server.stats.mean_batch > 1.0
+
+
+def test_batch_server_groups_params(svc):
+    """Different (k, eps) never share a device batch, and each request gets
+    the answer its own parameters produce (== the synchronous service's)."""
+    want5 = svc.top_k([14], k=5)[0]
+    want10 = svc.top_k([14], k=10)[0]
+    with PPRBatchServer(svc, max_batch=64, max_delay_ms=30) as server:
+        f1 = server.submit(14, k=5)
+        f2 = server.submit(14, k=10)
+        r1, r2 = f1.result(timeout=120), f2.result(timeout=120)
+    assert [h.node for h in r1] == [h.node for h in want5]
+    assert [h.node for h in r2] == [h.node for h in want10]
+    assert server.stats.dispatches == 2  # params never share a batch
+
+
+def test_batch_server_max_batch_splits(svc):
+    """More queued than max_batch => multiple dispatches, all answered."""
+    with PPRBatchServer(svc, max_batch=4, max_delay_ms=30) as server:
+        futs = [server.submit(s % 20) for s in range(10)]
+        rows = [f.result(timeout=120) for f in futs]
+    assert len(rows) == 10
+    assert server.stats.dispatches >= 3
+    assert max(server.stats.batch_sizes) <= 4
+
+
+def test_batch_server_error_fanout(svc):
+    """A batch that raises fans the exception to every waiting future and
+    the dispatcher survives to serve the next batch."""
+
+    class Boom(RuntimeError):
+        pass
+
+    class FlakyService:
+        def __init__(self, inner):
+            self.inner = inner
+            self.calls = 0
+
+        def top_k(self, sources, k=None, eps=None):
+            self.calls += 1
+            if self.calls == 1:
+                raise Boom("device fell over")
+            return self.inner.top_k(sources, k=k, eps=eps)
+
+    flaky = FlakyService(svc)
+    with PPRBatchServer(flaky, max_batch=8) as server:
+        fut = server.submit(3)
+        with pytest.raises(Boom):
+            fut.result(timeout=120)
+        ok = server.submit(3).result(timeout=120)
+    assert len(ok) >= 1
+    assert server.stats.dispatches == 2
+
+
+def test_batch_server_closed_rejects(svc):
+    server = PPRBatchServer(svc, max_batch=8)
+    server.close()
+    with pytest.raises(RuntimeError):
+        server.submit(1)
