@@ -32,6 +32,7 @@ optional accumulation window for latency-tolerant, bursty clients;
 
 from __future__ import annotations
 
+import json
 import threading
 from collections import defaultdict
 from concurrent.futures import Future
@@ -158,3 +159,109 @@ class PPRBatchServer:
                     continue
                 for f, row in zip(futs, rows):
                     f.set_result(row)
+
+
+# ---------------------------------------------------------------- daemon
+def serve_loop(service, in_stream, out_stream, **server_kwargs) -> ServerStats:
+    """JSON-lines request/response loop over arbitrary streams.
+
+    One request per line: ``{"source": int, "k"?: int, "eps"?: float,
+    "id"?: any}``; response lines carry the request's ``id`` (default: the
+    0-based request ordinal) and ``hits`` as ``[node, score, name]``
+    triples, or ``error``. ``{"cmd": "stats"}`` reports scheduler counters.
+    Responses stream back in completion order (the ``id`` correlates);
+    pipelined requests coalesce into device batches via
+    :class:`PPRBatchServer`. EOF drains and exits.
+    """
+    write_lock = threading.Lock()
+
+    def emit(obj):
+        with write_lock:
+            out_stream.write(json.dumps(obj) + "\n")
+            out_stream.flush()
+
+    def on_done(req_id):
+        def cb(fut: Future):
+            err = fut.exception()
+            if err is not None:
+                emit({"id": req_id, "error": f"{type(err).__name__}: {err}"})
+            else:
+                emit({"id": req_id, "hits": [
+                    [h.node, h.score, h.name] for h in fut.result()
+                ]})
+        return cb
+
+    with PPRBatchServer(service, **server_kwargs) as server:
+        pending = []
+        for i, line in enumerate(in_stream):
+            line = line.strip()
+            if not line:
+                continue
+            try:
+                req = json.loads(line)
+                if req.get("cmd") == "stats":
+                    emit({"id": req.get("id", i), "stats": {
+                        "requests": server.stats.requests,
+                        "dispatches": server.stats.dispatches,
+                        "mean_batch": server.stats.mean_batch,
+                        "padded_rows": server.stats.padded_rows,
+                    }})
+                    continue
+                fut = server.submit(
+                    int(req["source"]), req.get("k"), req.get("eps")
+                )
+            except Exception as e:  # noqa: BLE001 - malformed request
+                emit({"id": i, "error": f"{type(e).__name__}: {e}"})
+                continue
+            fut.add_done_callback(on_done(req.get("id", i)))
+            pending.append(fut)
+        for fut in pending:  # drain before close
+            try:
+                fut.result()
+            except Exception:  # noqa: BLE001 - already emitted as error line
+                pass
+    return server.stats
+
+
+def main(argv=None) -> int:
+    """``python -m ppr_tpu.serving --db <dataset>`` — stdio PPR daemon."""
+    import argparse
+    import sys
+
+    from .cli import load_dataset
+    from .service import PPRService
+
+    ap = argparse.ArgumentParser(
+        prog="ppr_tpu.serving",
+        description="PPR top-k retrieval daemon (JSON lines on stdio)",
+    )
+    ap.add_argument("--db", default="/root/reference/dataset/got")
+    ap.add_argument("--alpha", type=float, default=0.15)
+    ap.add_argument("--eps", type=float, default=0.5)
+    ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--hub-split", type=int, default=None,
+                    help="dense-hub hybrid SpMV hub count")
+    ap.add_argument("--max-batch", type=int, default=1024)
+    ap.add_argument("--max-delay-ms", type=float, default=0.0)
+    args = ap.parse_args(argv)
+
+    ds = load_dataset(args.db)
+    svc = PPRService.from_dataset(ds, alpha=args.alpha, eps=args.eps,
+                                  k=args.k, hub_split=args.hub_split)
+    print(json.dumps({"ready": True, "dataset": ds.name,
+                      "n": ds.graph.n, "m": ds.graph.m}),
+          file=sys.stderr, flush=True)
+    stats = serve_loop(svc, sys.stdin, sys.stdout,
+                       max_batch=args.max_batch,
+                       max_delay_ms=args.max_delay_ms)
+    print(json.dumps({"served": stats.requests,
+                      "dispatches": stats.dispatches,
+                      "mean_batch": round(stats.mean_batch, 2)}),
+          file=sys.stderr, flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    import sys
+
+    sys.exit(main())

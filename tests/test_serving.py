@@ -127,3 +127,31 @@ def test_batch_server_closed_rejects(svc):
     server.close()
     with pytest.raises(RuntimeError):
         server.submit(1)
+
+
+def test_serve_loop_jsonl(svc):
+    """The stdio daemon loop: JSON-lines in, correlated responses out,
+    stats command, malformed-request error line."""
+    import io
+    import json
+
+    from ppr_tpu.serving import serve_loop
+
+    reqs = [
+        json.dumps({"source": 3, "id": "a"}),
+        json.dumps({"source": 14, "id": "b", "k": 5}),
+        "not json",
+        json.dumps({"cmd": "stats", "id": "s"}),
+    ]
+    out = io.StringIO()
+    stats = serve_loop(svc, iter(r + "\n" for r in reqs), out,
+                       max_batch=8, max_delay_ms=10)
+    lines = [json.loads(x) for x in out.getvalue().splitlines()]
+    by_id = {l["id"]: l for l in lines}
+    assert stats.requests == 2
+    want_a = svc.top_k([3], k=10)[0]
+    assert by_id["a"]["hits"] == [[h.node, h.score, h.name] for h in want_a]
+    want_b = svc.top_k([14], k=5)[0]
+    assert by_id["b"]["hits"] == [[h.node, h.score, h.name] for h in want_b]
+    assert "error" in by_id[2]          # malformed line -> ordinal id
+    assert by_id["s"]["stats"]["requests"] >= 0
