@@ -154,15 +154,19 @@ def residual_propagate(
         p_, r_, it = state
         p_ = p_ + alpha * r_
         rem = (1.0 - alpha) * r_
-        rem_dang = jnp.where(is_dangling, rem, 0.0)
-        dang_mass = jnp.sum(rem_dang, axis=0, keepdims=True)
-        rem_out = rem - rem_dang
+        # dangling rows need no zeroing before the push: every SpMV backend
+        # scales sources by _safe_inv_deg (0 at d_out=0) or has no edges for
+        # them, so their contribution is structurally zero — the masked
+        # reduce below is the only dangling work per sweep (one fused pass)
+        dang_mass = jnp.sum(
+            jnp.where(is_dangling, rem, 0.0), axis=0, keepdims=True
+        )
         if hs is not None:
-            pushed = push_out_hybrid_t(g, hs, rem_out)
+            pushed = push_out_hybrid_t(g, hs, rem)
         elif num_chunks > 1:
-            pushed = push_out_chunked_t(g, rem_out, num_chunks=num_chunks)
+            pushed = push_out_chunked_t(g, rem, num_chunks=num_chunks)
         else:
-            pushed = push_out_t(g, rem_out)
+            pushed = push_out_t(g, rem)
         r_ = pushed + dang_mass * src_t
         return p_, r_, it + 1
 
@@ -212,19 +216,28 @@ def annealed_topk_propagate(
         p_, r_, delta, finished, it = state
         p_ = p_ + alpha_f * r_
         rem = (1.0 - alpha_f) * r_
-        rem_dang = jnp.where(is_dangling, rem, 0.0)
-        dang_mass = jnp.sum(rem_dang, axis=0, keepdims=True)
-        rem_out = rem - rem_dang
+        # dangling rows contribute nothing through any SpMV backend (see
+        # residual_propagate.body) — one fused masked reduce is enough
+        dang_mass = jnp.sum(
+            jnp.where(is_dangling, rem, 0.0), axis=0, keepdims=True
+        )
         if hs is not None:
-            pushed = push_out_hybrid_t(g, hs, rem_out)
+            pushed = push_out_hybrid_t(g, hs, rem)
         elif num_chunks > 1:
-            pushed = push_out_chunked_t(g, rem_out, num_chunks=num_chunks)
+            pushed = push_out_chunked_t(g, rem, num_chunks=num_chunks)
         else:
-            pushed = push_out_t(g, rem_out)
+            pushed = push_out_t(g, rem)
         r_ = pushed + dang_mass * src_t
 
         settled = jnp.max(jnp.sum(r_, axis=0)) <= eps * delta
-        done = settled & jnp.all(row_done(p_, delta))
+        # the termination count only matters on settle sweeps (the same
+        # decision points as the reference's round loop) — lax.cond skips
+        # the full [n_pad, B] row_done pass on every other sweep
+        done = jax.lax.cond(
+            settled,
+            lambda: jnp.all(row_done(p_, delta)),
+            lambda: jnp.bool_(False),
+        )
         at_floor = delta <= min_delta
         finished = done | (settled & at_floor)
         delta = jnp.where(

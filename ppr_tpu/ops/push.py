@@ -82,10 +82,14 @@ def forward_push_sweeps(
         active = forward_frontier(g, r_, rmax)
         a = jnp.where(active, r_, 0.0)
         p_ = p_ + alpha * a
-        a_dang = jnp.where(is_dangling, a, 0.0)
-        dang_mass = jnp.sum(a_dang, axis=-1, keepdims=True)
-        a_out = a - a_dang
-        pushed = push_out(g, (1.0 - alpha) * a_out)
+        # dangling sources contribute nothing through any SpMV backend
+        # (_safe_inv_deg is 0 at d_out=0, and they have no out-edges), so
+        # ``a`` needs no zeroing before the push — one fused masked reduce
+        # is the only dangling work per sweep
+        dang_mass = jnp.sum(
+            jnp.where(is_dangling, a, 0.0), axis=-1, keepdims=True
+        )
+        pushed = push_out(g, (1.0 - alpha) * a)
         r_ = r_ - a + pushed + (1.0 - alpha) * dang_mass * src_onehot
         return p_, r_, it + 1
 
