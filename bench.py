@@ -162,8 +162,8 @@ def main():
     ap.add_argument("--eps", type=float, default=0.5)
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--alpha", type=float, default=0.15)
-    ap.add_argument("--cpu-queries", type=int, default=2)
-    ap.add_argument("--acc-queries", type=int, default=8)
+    ap.add_argument("--cpu-queries", type=int, default=16)
+    ap.add_argument("--acc-queries", type=int, default=32)
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--no-hub-split", action="store_true",
                     help="disable the dense-hub hybrid SpMV (default: auto "
@@ -210,14 +210,24 @@ def main():
         t0 = time.perf_counter()
         vals, ids = fora.compute_topk_ids_batch(sources, args.k, args.eps)
         tpu_s = time.perf_counter() - t0
+        # tie tolerance = eps*min_delta: estimates of an exact oracle tie at
+        # the k-th value can split by float noise far below the algorithm's
+        # eps*delta accuracy bound; the raw (tol=0) sets are also reported
+        tie_tol = args.eps * (1.0 / g.n)
+        n_acc = min(args.batch, args.acc_queries)
         algo_ids_rows = [
+            topk_ids_with_ties_from_pairs(vals[i], ids[i], args.k,
+                                          tol=tie_tol)
+            for i in range(n_acc)
+        ]
+        algo_ids_rows_raw = [
             topk_ids_with_ties_from_pairs(vals[i], ids[i], args.k)
-            for i in range(min(args.batch, args.acc_queries))
+            for i in range(n_acc)
         ]
         # tie sets that could extend past the device selection window get
         # exact (dense) recomputation so reported recall is never understated
         overflow = [
-            i for i in range(len(algo_ids_rows))
+            i for i in range(n_acc)
             if len(algo_ids_rows[i]) == vals.shape[1] and vals[i][-1] > 0.0
         ]
         if overflow:
@@ -225,7 +235,12 @@ def main():
                 sources[overflow], args.k, args.eps
             )
             for j, i in enumerate(overflow):
-                algo_ids_rows[i] = topk_ids_with_ties(dense_rows[j], args.k)
+                algo_ids_rows[i] = topk_ids_with_ties(
+                    dense_rows[j], args.k, tol=tie_tol
+                )
+                algo_ids_rows_raw[i] = topk_ids_with_ties(
+                    dense_rows[j], args.k
+                )
         device = str(jax.devices()[0])
     except Exception as e:  # noqa: BLE001
         # the jax backend cannot be switched mid-process; fall back to the
@@ -245,7 +260,12 @@ def main():
             [np.stack(rows).astype(np.float32), pad], axis=1
         )
         sources = sources[: len(rows)]
+        tie_tol = args.eps * (1.0 / g.n)
         algo_ids_rows = [
+            topk_ids_with_ties(scores[i], args.k, tol=tie_tol)
+            for i in range(min(len(rows), args.acc_queries))
+        ]
+        algo_ids_rows_raw = [
             topk_ids_with_ties(scores[i], args.k)
             for i in range(min(len(rows), args.acc_queries))
         ]
@@ -262,11 +282,13 @@ def main():
                 g, np.asarray(acc_sources, np.int32), args.alpha, 100
             )
         )
-    precs = []
+    precs, precs_raw = [], []
     for i in range(min(len(acc_sources), len(algo_ids_rows))):
         gnd = topk_ids_with_ties(oracle[i], args.k)
         precs.append(precision_at_k(algo_ids_rows[i], gnd))
+        precs_raw.append(precision_at_k(algo_ids_rows_raw[i], gnd))
     recall = float(np.mean(precs))
+    recall_raw = float(np.mean(precs_raw))
 
     # CPU baseline
     cpu = CpuFora(ds, args.alpha, args.k)
@@ -282,6 +304,9 @@ def main():
         "unit": "queries/s",
         "vs_baseline": round(tpu_qps / cpu_qps, 3),
         "recall_at_10": round(recall, 4),
+        "recall_at_10_raw": round(recall_raw, 4),
+        "acc_queries": len(precs),
+        "cpu_queries": args.cpu_queries,
         "cpu_baseline_qps": round(cpu_qps, 3),
         "graph": {"n": g.n, "m": g.m},
         "device": device,

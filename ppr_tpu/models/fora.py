@@ -82,6 +82,63 @@ def _pow2_bucket(x: int) -> int:
     return 1 << max(10, int(math.ceil(math.log2(max(x, 1)))))
 
 
+#: (graph-id, n_pad, batch, alpha) tuples whose push program has been warmed
+_WARMED_PUSH_SHAPES: set = set()
+
+#: walk-phase chunking budget: keep each chunk's walker total comfortably
+#: inside int32 (expand_walkers cumsums int32) and inside one walker pool
+_WALK_CHUNK_BUDGET = 1 << 28
+
+
+def _walk_contrib_chunked(g, om, w, next_key, alpha, no_zero_hop):
+    """Residual-weighted walks with int32-overflow-safe accounting.
+
+    ``om`` is int32[B, n_pad]; its *total* can exceed 2^31 on large graphs at
+    small eps (>2^31 walks would silently wrap both ``jnp.sum`` and
+    expand_walkers' int32 cumsum). Row totals are estimated in float64 on the
+    host from per-row float32 partial sums; rows are processed in groups whose
+    estimated total stays under ``_WALK_CHUNK_BUDGET`` (with margin), so every
+    device-side int32 cumsum is exact. Returns the [B, n_pad] contribution."""
+    b = om.shape[0]
+    # float32 row sums: a magnitude estimate only (chunk-split decisions);
+    # the exact int32 cumsum inside each chunk drives walker validity
+    row_est = np.asarray(jnp.sum(om.astype(jnp.float32), axis=-1),
+                         dtype=np.float64)
+    total_est = float(row_est.sum())
+    if total_est <= _WALK_CHUNK_BUDGET:
+        total = int(jnp.sum(om))
+        if total <= 0:
+            return jnp.zeros_like(w)
+        return _walk_contrib(g, om, w, next_key(), alpha,
+                             _pow2_bucket(total), no_zero_hop)
+    out = jnp.zeros_like(w)
+    lo = 0
+    margin = 1.01
+    while lo < b:
+        hi = lo + 1
+        acc = row_est[lo] * margin
+        while hi < b and acc + row_est[hi] * margin <= _WALK_CHUNK_BUDGET:
+            acc += row_est[hi] * margin
+            hi += 1
+        om_c, w_c = om[lo:hi], w[lo:hi]
+        passes = max(1, int(math.ceil(
+            row_est[lo:hi].sum() * margin / _WALK_CHUNK_BUDGET
+        )))
+        for j in range(passes):
+            # split om into `passes` integer parts summing exactly to om;
+            # per-walk weight is unchanged, so the passes just partition the
+            # same walk population
+            om_j = om_c // passes + ((om_c % passes) > j).astype(jnp.int32) \
+                if passes > 1 else om_c
+            total = int(jnp.sum(om_j))
+            if total > 0:
+                contrib = _walk_contrib(g, om_j, w_c, next_key(), alpha,
+                                        _pow2_bucket(total), no_zero_hop)
+                out = out.at[lo:hi].add(contrib)
+        lo = hi
+    return out
+
+
 def _pad_sources(sources, min_b: int = 8):
     """Pad a source batch to >= 8 rows (with node 0).
 
@@ -394,10 +451,15 @@ class ForaWholeGraph(PreprocessingMixin, _ForaCostModel, PPRAlgorithm):
         push_ns = 0.0
         p, r, src_onehot = forward_push_init(g, sources_j)
         # untimed warmup so first-call jit compilation (minutes on a cold TPU
-        # cache) never pollutes the push/completion cost balance
-        jax.block_until_ready(forward_push_sweeps(
-            g, p, r, src_onehot, jnp.float32(rmax), self.alpha
-        ))
+        # cache) never pollutes the push/completion cost balance — once per
+        # (graph, batch-shape, alpha), not per call (steady-state calls skip
+        # the discarded extra push entirely)
+        warm_key = (id(g.indptr), g.n_pad, b, self.alpha)
+        if warm_key not in _WARMED_PUSH_SHAPES:
+            jax.block_until_ready(forward_push_sweeps(
+                g, p, r, src_onehot, jnp.float32(rmax), self.alpha
+            ))
+            _WARMED_PUSH_SHAPES.add(warm_key)
         first = True
         rounds = 0
         completion_target = eps * self.delta
@@ -441,12 +503,9 @@ class ForaWholeGraph(PreprocessingMixin, _ForaCostModel, PPRAlgorithm):
             r1 = (1.0 - self.alpha) * r
             p = p + self.alpha * r
             om, w = _whole_graph_walk_setup(r1, jnp.float32(omega))
-            total = int(jnp.sum(om))
-            if total > 0:
-                cap = _pow2_bucket(total)
-                p = p + _walk_contrib(
-                    g, om, w, self.next_key(), self.alpha, cap, True
-                )
+            p = p + _walk_contrib_chunked(
+                g, om, w, self.next_key, self.alpha, True
+            )
 
         p, _ = apply_dangling_source_shortcircuit(
             g, sources_j, p, jnp.zeros_like(p), src_onehot
@@ -579,13 +638,9 @@ class ForaTopk(_ForaCostModel, PPRAlgorithm):
                 w = jnp.where(
                     om > 0, r / jnp.maximum(om, 1).astype(jnp.float32), 0.0
                 )
-                total = int(jnp.sum(om))
-                round_p = p
-                if total > 0:
-                    cap = _pow2_bucket(total)
-                    round_p = p + _walk_contrib(
-                        g, om, w, self.next_key(), self.alpha, cap, False
-                    )
+                round_p = p + _walk_contrib_chunked(
+                    g, om, w, self.next_key, self.alpha, False
+                )
             result = round_p
 
             # termination (Fora_Topk.java:173-178): kth reserve >= (1+eps')*delta

@@ -19,8 +19,10 @@ Two execution backends, picked per graph:
   fits in HBM (the GOT benchmark graph is a 128x128 f32 matrix).
 * **coo**: gather along ``edge_src``/``edge_dst`` + scatter-add, which XLA
   lowers to vectorized dynamic-slice/scatter; used for large graphs where a
-  dense operator is infeasible. (A Pallas edge-blocked variant lives in
-  ops/pallas_spmv.py for the million-edge regime.)
+  dense operator is infeasible. (A fused Pallas sparse kernel was probed and
+  is currently impossible — Mosaic lacks big-table axis-0 gathers, PERF.md —
+  so the million-edge regime uses the sorted-segment-sum path plus the
+  dense-hub hybrid in ops/hub_split.py.)
 
 Both backends are linear, mask padding edges, and drop mass at dangling
 nodes (callers re-inject dangling mass per algorithm semantics — to the

@@ -32,13 +32,19 @@ def device_top_k(p: jax.Array, k: int):
     return jax.lax.top_k(p, k)
 
 
-def topk_ids_with_ties(values: np.ndarray, k: int, *, support=None) -> np.ndarray:
+def topk_ids_with_ties(values: np.ndarray, k: int, *, support=None,
+                       tol: float = 0.0) -> np.ndarray:
     """Node ids with value >= k-th largest support value, sorted descending.
 
     ``values`` is a dense [n] vector; support defaults to ``values > 0``
     (matching the reference where hash-map entries exist only for touched
     nodes). If the support holds fewer than k entries, the entire support is
     returned (kth_ppr == null branch). Ties beyond position k are included.
+
+    ``tol`` > 0 treats values within ``tol`` of the k-th value as tied —
+    estimates of an exact oracle tie can split by float noise far below the
+    algorithm's eps*delta accuracy bound, and the reference's own precision
+    denominator is already tie-aware (Gen_Util.java:271-279).
     """
     values = np.asarray(values)
     if support is None:
@@ -51,18 +57,19 @@ def topk_ids_with_ties(values: np.ndarray, k: int, *, support=None) -> np.ndarra
         chosen = sup_ids
     else:
         kth = np.partition(sup_vals, -k)[-k]
-        chosen = sup_ids[sup_vals >= kth]
+        chosen = sup_ids[sup_vals >= kth - tol]
     order = np.argsort(-values[chosen], kind="stable")
     return chosen[order]
 
 
 def topk_ids_with_ties_from_pairs(vals_row: np.ndarray, ids_row: np.ndarray,
-                                  k: int) -> np.ndarray:
+                                  k: int, *, tol: float = 0.0) -> np.ndarray:
     """Tie-expanded top-k over a device-selected (values, ids) row pair
     (descending, length kcap >= k) — same semantics as
-    :func:`topk_ids_with_ties` without needing the dense vector. Ties
-    extending beyond the kcap window are truncated; callers that need exact
-    tie sets detect ``vals_row[-1] >= kth`` and fall back to the dense path.
+    :func:`topk_ids_with_ties` without needing the dense vector (incl. the
+    ``tol`` near-tie expansion). Ties extending beyond the kcap window are
+    truncated; callers that need exact tie sets detect
+    ``vals_row[-1] >= kth - tol`` and fall back to the dense path.
     """
     vals_row = np.asarray(vals_row)
     ids_row = np.asarray(ids_row)
@@ -71,7 +78,7 @@ def topk_ids_with_ties_from_pairs(vals_row: np.ndarray, ids_row: np.ndarray,
     if v.size <= k:
         return i
     kth = v[k - 1]
-    return i[v >= kth]
+    return i[v >= kth - tol]
 
 
 def kth_ppr(values: np.ndarray, k: int):

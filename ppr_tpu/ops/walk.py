@@ -249,6 +249,10 @@ def expand_walkers(omega_per_node: jax.Array, cap: int):
     distributed by inverting the cumulative sum: walker j belongs to the node
     whose cumsum interval contains j. Returns ``(starts, valid)`` where
     ``starts`` is int32[cap] node ids and ``valid`` masks slots past the total.
+
+    The cumsum is int32: callers must keep each call's walk total < 2^31
+    (models/fora._walk_contrib_chunked and MonteCarlo.max_walk_batch chunk
+    their phases to guarantee this).
     """
     csum = jnp.cumsum(omega_per_node.astype(jnp.int32))
     total = csum[-1]

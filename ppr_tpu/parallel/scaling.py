@@ -33,6 +33,10 @@ def main(argv=None) -> int:
                     help="comma list, e.g. 1,2,4,8 (default: powers of two up "
                          "to the device count)")
     ap.add_argument("--iters", type=int, default=5)
+    ap.add_argument("--engine", action="store_true",
+                    help="also sweep the end-to-end ShardedForaTopk engine")
+    ap.add_argument("--batch", type=int, default=32,
+                    help="fixed total query batch for the engine sweep")
     args = ap.parse_args(argv)
 
     ds = synthetic_powerlaw(args.n, args.deg, seed=3, dense_threshold=0)
@@ -41,7 +45,68 @@ def main(argv=None) -> int:
     )
     for row in scaling_sweep(ds.graph, counts, iters=args.iters):
         print(json.dumps(row))
+    if args.engine:
+        for row in engine_scaling_sweep(ds, counts, batch=args.batch,
+                                        iters=args.iters):
+            print(json.dumps(row))
     return 0
+
+
+def engine_scaling_sweep(
+    ds,
+    device_counts: list[int] | None = None,
+    *,
+    alpha: float = 0.15,
+    k: int = 10,
+    eps: float = 0.5,
+    batch: int = 32,
+    iters: int = 3,
+) -> list[dict]:
+    """End-to-end sharded FORA top-k queries/s at 1 -> N devices.
+
+    Fixed TOTAL batch (strong scaling): on real multi-chip hardware
+    ``queries_per_sec`` should grow ~linearly with devices; on the virtual
+    CPU mesh (all "devices" share the host's physical cores) total silicon
+    is constant, so the honest proxy is ``overhead = t(N) / t(1)`` — how
+    much the partitioning + collectives cost on fixed work. Both are
+    reported; BENCH consumers must read ``proxy`` to know which applies."""
+    import numpy as np
+
+    from .sharded_fora import ShardedForaTopk
+
+    devices = jax.devices()
+    if device_counts is None:
+        device_counts = [d for d in (1, 2, 4, 8) if d <= len(devices)]
+    is_proxy = devices[0].platform == "cpu"
+
+    rng = np.random.default_rng(11)
+    sources = rng.integers(0, ds.graph.n, size=batch).astype(np.int32)
+
+    results = []
+    t_base = None
+    for nd in device_counts:
+        mesh = make_mesh(nd)
+        engine = ShardedForaTopk(ds, alpha=alpha, k=k, mesh=mesh)
+        engine.compute_topk_ids_batch(sources, k, eps)   # compile + warmup
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            engine.compute_topk_ids_batch(sources, k, eps)
+        dt = (time.perf_counter() - t0) / iters
+        if t_base is None:
+            t_base = dt
+        mesh_shape = dict(zip(mesh.axis_names, mesh.devices.shape))
+        results.append({
+            "sweep": "engine_strong",
+            "devices": nd,
+            "mesh": mesh_shape,
+            "batch": batch,
+            "queries_per_sec": batch / dt,
+            "time_per_batch_s": dt,
+            "overhead_vs_1dev": dt / t_base,
+            "efficiency": t_base / (dt * (1 if is_proxy else nd)),
+            "proxy": is_proxy,
+        })
+    return results
 
 
 def scaling_sweep(
