@@ -54,9 +54,30 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--fora-completion", default="auto",
                    choices=["auto", "walks", "spmv"],
                    help="FORA residual completion strategy (auto = cost model)")
+    p.add_argument("--tests", default="1,2,3",
+                   help="comma subset of the three protocol tests to run "
+                        "(1=whole-graph, 2=top-k, 3=preprocessing)")
+    p.add_argument("--budget-s", type=float, default=None,
+                   help="per-(algorithm, test) time budget in seconds; "
+                        "remaining sweep params are skipped with an "
+                        "explicit note row once exceeded")
     p.add_argument("--trace-dir", default=None,
                    help="write a jax.profiler trace of the batch test here")
     return p
+
+
+# Reference-scale seeded stand-ins for the four SNAP/social datasets of
+# Gen_Util.java:334-449 (the originals are not redistributable / available
+# here; node- and edge-counts approximate the published dataset sizes so
+# the sweep operating points are comparable). Names match SWEEPS keys so
+# `--db synth:flickr` runs the flickr parameter arrays into
+# flickr_AlgoPerfResults.txt.
+NAMED_SYNTH = {
+    "blogcatalog": (10240, 32, 101),   # BlogCatalog: 10,312 n / 334k m
+    "flickr": (81920, 16, 102),        # Flickr: 80,513 n (deg reduced 72->16)
+    "grqc": (5120, 3, 103),            # ca-GrQc: 5,242 n / 14.5k m
+    "amazon": (262144, 4, 104),        # amazon0302: 262,111 n / 1.23M m
+}
 
 
 def load_dataset(db: str):
@@ -64,6 +85,10 @@ def load_dataset(db: str):
 
     if db.startswith("synth:"):
         spec = db[len("synth:"):]
+        if spec in NAMED_SYNTH:
+            n, deg, seed = NAMED_SYNTH[spec]
+            return io.synthetic_powerlaw(n, deg, seed=seed, name=spec,
+                                         dense_threshold=0)
         seed = 0
         if "@" in spec:
             spec, seed_s = spec.split("@")
@@ -117,7 +142,11 @@ def main(argv=None) -> int:
 
     try:
         with trace(args.trace_dir):
-            harness.algo_perf_batch_test(args.query, args.k, sweep=args.sweep)
+            harness.algo_perf_batch_test(
+                args.query, args.k, sweep=args.sweep,
+                tests=tuple(int(t) for t in args.tests.split(",")),
+                budget_s=args.budget_s,
+            )
     except Exception as e:  # PPR.java:196-199 prints and exits
         print(f"Algo performance batch test failed! ({e})")
         raise

@@ -295,52 +295,68 @@ class PerfHarness:
 
     # --- batch driver (algo_perf_batch_test parity, Gen_Util.java:328-646) --
     def algo_perf_batch_test(self, query_num: int = 50, k: int = 10,
-                             sweep: str | None = None) -> list[PerfResult]:
+                             sweep: str | None = None,
+                             tests: tuple = (1, 2, 3),
+                             budget_s: float | None = None
+                             ) -> list[PerfResult]:
+        """Run the three protocol tests. ``tests`` selects a subset;
+        ``budget_s`` caps wall time per (algorithm, test) section — once a
+        section exceeds it, the remaining (more expensive) sweep params are
+        skipped with an explicit note row in the result file (params are
+        ordered cheap-to-expensive in every sweep array, matching the
+        reference). Nothing is dropped silently."""
         spec = SWEEPS.get(sweep or self.dataset.name) or SWEEPS["got"]
         self.writer.header()
         results = []
 
-        self.writer.section("Test 1. Whole-Graph test")
-        for i, (algo, params) in enumerate(spec["whole_graph"].items(), 1):
-            self.writer.section(f"1.{i} {algo.value}")
-            for param in params:
-                if algo == AlgoType.BASE_WHOLE_GRAPH:
-                    results.append(self.algo_perf_test(
-                        algo, query_num, -1, -1, param, False,
-                        TestType.WHOLE_GRAPH,
-                    ))
-                else:
-                    results.append(self.algo_perf_test(
-                        algo, query_num, -1, param, -1.0, False,
-                        TestType.WHOLE_GRAPH,
-                    ))
+        def run_section(algo, params, runner):
+            t0 = time.perf_counter()
+            for j, param in enumerate(params):
+                if budget_s is not None and j > 0 \
+                        and time.perf_counter() - t0 > budget_s:
+                    skipped = params[j:]
+                    self.writer.section(
+                        f"# remaining params skipped (budget "
+                        f"{budget_s:.0f}s exceeded): {skipped}"
+                    )
+                    break
+                results.append(runner(param))
 
-        self.writer.section("Test 2. Top-k test")
-        for i, (algo, params) in enumerate(spec["topk"].items(), 1):
-            self.writer.section(f"2.{i} {algo.value}")
-            for param in params:
-                if algo == AlgoType.BASE_WHOLE_GRAPH:
-                    results.append(self.algo_perf_test(
-                        algo, query_num, k, -1, param, False, TestType.TOPK,
-                    ))
-                else:
-                    results.append(self.algo_perf_test(
-                        algo, query_num, k, param, -1.0, False, TestType.TOPK,
-                    ))
+        if 1 in tests:
+            self.writer.section("Test 1. Whole-Graph test")
+            for i, (algo, params) in enumerate(
+                    spec["whole_graph"].items(), 1):
+                self.writer.section(f"1.{i} {algo.value}")
+                run_section(algo, params, lambda p, a=algo: (
+                    self.algo_perf_test(a, query_num, -1, -1, p, False,
+                                        TestType.WHOLE_GRAPH)
+                    if a == AlgoType.BASE_WHOLE_GRAPH else
+                    self.algo_perf_test(a, query_num, -1, p, -1.0, False,
+                                        TestType.WHOLE_GRAPH)
+                ))
 
-        prep_spec = spec.get("prep", spec["whole_graph"])
-        self.writer.section("Test 3. Preprocessing test")
-        for i, (algo, params) in enumerate(prep_spec.items(), 1):
-            self.writer.section(f"3.{i} {algo.value}")
-            for param in params:
-                if algo == AlgoType.BASE_WHOLE_GRAPH:
-                    results.append(self.algo_perf_test(
-                        algo, query_num, -1, -1, param, True,
-                        TestType.WHOLE_GRAPH,
-                    ))
-                else:
-                    results.append(self.algo_perf_test(
-                        algo, query_num, -1, param, -1.0, True,
-                        TestType.WHOLE_GRAPH,
-                    ))
+        if 2 in tests:
+            self.writer.section("Test 2. Top-k test")
+            for i, (algo, params) in enumerate(spec["topk"].items(), 1):
+                self.writer.section(f"2.{i} {algo.value}")
+                run_section(algo, params, lambda p, a=algo: (
+                    self.algo_perf_test(a, query_num, k, -1, p, False,
+                                        TestType.TOPK)
+                    if a == AlgoType.BASE_WHOLE_GRAPH else
+                    self.algo_perf_test(a, query_num, k, p, -1.0, False,
+                                        TestType.TOPK)
+                ))
+
+        if 3 in tests:
+            prep_spec = spec.get("prep", spec["whole_graph"])
+            self.writer.section("Test 3. Preprocessing test")
+            for i, (algo, params) in enumerate(prep_spec.items(), 1):
+                self.writer.section(f"3.{i} {algo.value}")
+                run_section(algo, params, lambda p, a=algo: (
+                    self.algo_perf_test(a, query_num, -1, -1, p, True,
+                                        TestType.WHOLE_GRAPH)
+                    if a == AlgoType.BASE_WHOLE_GRAPH else
+                    self.algo_perf_test(a, query_num, -1, p, -1.0, True,
+                                        TestType.WHOLE_GRAPH)
+                ))
         return results
