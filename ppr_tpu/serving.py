@@ -34,6 +34,7 @@ from __future__ import annotations
 
 import json
 import threading
+import time
 from collections import defaultdict
 from concurrent.futures import Future
 from dataclasses import dataclass, field
@@ -46,10 +47,28 @@ class ServerStats:
     dispatched_rows: int = 0
     padded_rows: int = 0
     batch_sizes: list = field(default_factory=list)
+    latencies_ms: list = field(default_factory=list)
 
     @property
     def mean_batch(self) -> float:
         return (self.dispatched_rows / self.dispatches) if self.dispatches else 0.0
+
+    def latency_percentiles(self, qs=(50, 95, 99)) -> dict:
+        """Submit-to-result latency percentiles over all completed requests.
+
+        A retrieval engine's serving headline is latency as much as
+        throughput (the reference never serves, so this is new surface);
+        measured under load by scripts/serving_latency.py.
+        """
+        if not self.latencies_ms:
+            return {f"p{q}": None for q in qs}
+        xs = sorted(self.latencies_ms)
+        out = {}
+        for q in qs:
+            # nearest-rank percentile: robust for the small-sample tails
+            i = min(len(xs) - 1, max(0, int(round(q / 100.0 * len(xs))) - 1))
+            out[f"p{q}"] = xs[i]
+        return out
 
 
 def _pow2_bucket(b: int, lo: int = 8) -> int:
@@ -75,7 +94,9 @@ class PPRBatchServer:
         self.bucket = bucket
         self.stats = ServerStats()
         self._lock = threading.Condition()
-        self._queue: list[tuple[int, int | None, float | None, Future]] = []
+        self._queue: list[
+            tuple[int, int | None, float | None, Future, float]
+        ] = []
         self._closed = False
         self._thread = threading.Thread(
             target=self._dispatch_loop, name="ppr-batch-dispatch", daemon=True
@@ -91,7 +112,7 @@ class PPRBatchServer:
             if self._closed:
                 raise RuntimeError("server is closed")
             self.stats.requests += 1
-            self._queue.append((int(source), k, eps, fut))
+            self._queue.append((int(source), k, eps, fut, time.perf_counter()))
             self._lock.notify()
         return fut
 
@@ -141,8 +162,9 @@ class PPRBatchServer:
             if groups is None:
                 return
             for (k, eps), items in groups.items():
-                sources = [s for s, _, _, _ in items]
-                futs = [f for _, _, _, f in items]
+                sources = [s for s, _, _, _, _ in items]
+                futs = [f for _, _, _, f, _ in items]
+                submits = [t for _, _, _, _, t in items]
                 b = len(sources)
                 if self.bucket:
                     width = min(_pow2_bucket(b), max(self.max_batch, 8))
@@ -157,6 +179,10 @@ class PPRBatchServer:
                     for f in futs:
                         f.set_exception(e)
                     continue
+                done = time.perf_counter()
+                self.stats.latencies_ms.extend(
+                    (done - t) * 1e3 for t in submits
+                )
                 for f, row in zip(futs, rows):
                     f.set_result(row)
 
@@ -205,6 +231,7 @@ def serve_loop(service, in_stream, out_stream, **server_kwargs) -> ServerStats:
                         "dispatches": server.stats.dispatches,
                         "mean_batch": server.stats.mean_batch,
                         "padded_rows": server.stats.padded_rows,
+                        "latency_ms": server.stats.latency_percentiles(),
                     }})
                     continue
                 fut = server.submit(

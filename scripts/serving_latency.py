@@ -1,0 +1,166 @@
+"""Open-loop serving latency profile: p50/p95/p99 under concurrent load.
+
+Drives a :class:`ppr_tpu.serving.PPRBatchServer` with a Poisson arrival
+process (open loop: arrivals do NOT wait for completions, so queueing
+delay is measured honestly — a closed loop would self-throttle and hide
+it) at several fractions of the engine's measured capacity, and records
+submit-to-result latency percentiles per rate.
+
+The reference has no serving story (its only driver is the sequential
+benchmark loop, Gen_Util.java:146-165); this is the production-facing
+counterpart of the qps headline: VERDICT round-1 item 8.
+
+Usage (real TPU, 1M-node graph)::
+
+    python scripts/serving_latency.py --db synth:1048576x16 \
+        --rates 0.25,0.5,0.8 --duration-s 30 --out results/serving_latency.json
+
+CPU smoke: ``--cpu --db synth:2048x8 --duration-s 3``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import random
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def measure_capacity(server, sources, max_batch: int, reps: int = 3) -> float:
+    """Saturated throughput (qps) at the server's max batch, post-warmup."""
+    t0 = time.perf_counter()
+    done = 0
+    for r in range(reps):
+        futs = [server.submit(s) for s in sources[:max_batch]]
+        for f in futs:
+            f.result()
+        done += len(futs)
+    return done / (time.perf_counter() - t0)
+
+
+def run_rate(server, sources, rate_qps: float, duration_s: float,
+             rng: random.Random) -> dict:
+    """Fire Poisson arrivals at ``rate_qps`` for ``duration_s``; return stats."""
+    n0 = len(server.stats.latencies_ms)
+    futs = []
+    t_end = time.perf_counter() + duration_s
+    next_t = time.perf_counter()
+    i = 0
+    while time.perf_counter() < t_end:
+        now = time.perf_counter()
+        if now < next_t:
+            time.sleep(min(next_t - now, 0.05))
+            continue
+        futs.append(server.submit(sources[i % len(sources)]))
+        i += 1
+        next_t += rng.expovariate(rate_qps)
+    t_fire_done = time.perf_counter()
+    for f in futs:
+        f.result()
+    drain_s = time.perf_counter() - t_fire_done
+    lat = server.stats.latencies_ms[n0:]
+    lat_sorted = sorted(lat)
+
+    def pct(q):
+        if not lat_sorted:
+            return None
+        j = min(len(lat_sorted) - 1,
+                max(0, int(round(q / 100.0 * len(lat_sorted))) - 1))
+        return round(lat_sorted[j], 3)
+
+    return {
+        "offered_qps": round(rate_qps, 2),
+        "achieved_qps": round(len(futs) / duration_s, 2),
+        "requests": len(futs),
+        "p50_ms": pct(50),
+        "p95_ms": pct(95),
+        "p99_ms": pct(99),
+        "mean_ms": round(sum(lat) / len(lat), 3) if lat else None,
+        "drain_s": round(drain_s, 3),
+    }
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("--db", default="synth:1048576x16")
+    ap.add_argument("--alpha", type=float, default=0.15)
+    ap.add_argument("--eps", type=float, default=0.5)
+    ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--max-batch", type=int, default=256)
+    ap.add_argument("--rates", default="0.25,0.5,0.8",
+                    help="load points as fractions of measured capacity "
+                         "(values <= 1.5), or absolute qps (values > 1.5)")
+    ap.add_argument("--duration-s", type=float, default=30.0)
+    ap.add_argument("--queries", type=int, default=4096,
+                    help="distinct query sources cycled through")
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--hub-split", type=int, default=None)
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (smoke/local testing)")
+    ap.add_argument("--out", default="results/serving_latency.json")
+    args = ap.parse_args(argv)
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    from ppr_tpu.cli import load_dataset
+    from ppr_tpu.service import PPRService
+    from ppr_tpu.serving import PPRBatchServer
+
+    ds = load_dataset(args.db)
+    print(f"dataset {ds.name}: n={ds.graph.n} m={ds.graph.m}", flush=True)
+    svc = PPRService.from_dataset(ds, alpha=args.alpha, eps=args.eps,
+                                  k=args.k, hub_split=args.hub_split)
+    rng = random.Random(args.seed)
+    sources = [rng.randrange(ds.graph.n) for _ in range(args.queries)]
+
+    rows = []
+    with PPRBatchServer(svc, max_batch=args.max_batch) as server:
+        # Prewarm every pow2 bucket the load can produce, so remote-XLA
+        # compile latency (minutes per new shape on this backend) never
+        # lands inside a timed window.
+        b = 8
+        while b <= args.max_batch:
+            t0 = time.perf_counter()
+            futs = [server.submit(s) for s in sources[:b]]
+            for f in futs:
+                f.result()
+            print(f"warm bucket {b}: {time.perf_counter() - t0:.1f}s",
+                  flush=True)
+            b <<= 1
+        server.stats.latencies_ms.clear()
+
+        cap = measure_capacity(server, sources, args.max_batch)
+        print(f"measured capacity: {cap:.1f} qps "
+              f"(max_batch={args.max_batch})", flush=True)
+        server.stats.latencies_ms.clear()
+
+        for spec in args.rates.split(","):
+            v = float(spec)
+            rate = v * cap if v <= 1.5 else v
+            print(f"-- load point {spec} -> {rate:.1f} qps offered", flush=True)
+            row = run_rate(server, sources, rate, args.duration_s, rng)
+            rows.append(row)
+            print(json.dumps(row), flush=True)
+
+    out = {
+        "dataset": {"name": ds.name, "n": ds.graph.n, "m": ds.graph.m},
+        "capacity_qps": round(cap, 2),
+        "max_batch": args.max_batch,
+        "duration_s": args.duration_s,
+        "rows": rows,
+    }
+    Path(args.out).parent.mkdir(parents=True, exist_ok=True)
+    Path(args.out).write_text(json.dumps(out, indent=1) + "\n")
+    print(f"wrote {args.out}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -155,3 +155,27 @@ def test_serve_loop_jsonl(svc):
     assert by_id["b"]["hits"] == [[h.node, h.score, h.name] for h in want_b]
     assert "error" in by_id[2]          # malformed line -> ordinal id
     assert by_id["s"]["stats"]["requests"] >= 0
+
+
+def test_latency_stats_recorded(svc):
+    """Every completed request leaves a submit-to-result latency sample and
+    the percentile summary is ordered (p50 <= p95 <= p99)."""
+    sources = [1, 2, 3, 4, 5, 6, 7, 8, 9]
+    with PPRBatchServer(svc, max_batch=64) as server:
+        futs = [server.submit(s) for s in sources]
+        for f in futs:
+            f.result(timeout=120)
+        stats = server.stats
+    assert len(stats.latencies_ms) == len(sources)
+    assert all(x > 0 for x in stats.latencies_ms)
+    pct = stats.latency_percentiles()
+    assert pct["p50"] <= pct["p95"] <= pct["p99"]
+    assert pct["p99"] <= max(stats.latencies_ms) + 1e-9
+
+
+def test_latency_percentiles_empty():
+    from ppr_tpu.serving import ServerStats
+
+    assert ServerStats().latency_percentiles() == {
+        "p50": None, "p95": None, "p99": None
+    }
