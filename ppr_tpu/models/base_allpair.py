@@ -38,6 +38,11 @@ class BaseAllPair(PPRAlgorithm):
         self._threshold = None
         self._k = None
 
+    def _make_bws(self, threshold: float) -> BackwardSearch:
+        """Backward-search kernel factory — the mesh variant overrides this
+        (ppr_tpu.parallel.sharded_allpair.sharded_base_allpair)."""
+        return BackwardSearch(self.graph, self.alpha, rmax=threshold)
+
     # --- Preprocessing_Interface ------------------------------------------
     def make_store(self, threshold, k):
         import os
@@ -54,7 +59,7 @@ class BaseAllPair(PPRAlgorithm):
         threshold = float(threshold)
         k = int(k)
         n = self.graph.n
-        bws = BackwardSearch(self.graph, self.alpha, rmax=threshold)
+        bws = self._make_bws(threshold)
         report = progress_printer(n, enabled=progress)
 
         # accumulate pi(s, t) >= threshold as COO triplets (vectorized)
