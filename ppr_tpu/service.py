@@ -37,18 +37,27 @@ class PPRService:
                  eps: float = 0.5, k: int = 10, seed: int = 0,
                  algorithm: AlgoType = AlgoType.FORA_TOPK,
                  hub_split: int | None = None, hub_dtype=None,
-                 calibrate: bool = False):
+                 calibrate: bool = False, mesh=None):
         """``hub_split=H`` enables the dense-hub hybrid SpMV with H hubs in
         the FORA serving kernels (bf16 hub matrix unless ``hub_dtype``
         overrides — the measured-fastest serving config on power-law
         graphs). ``calibrate=True`` measures the real per-walk / per-edge
         costs on this backend+graph at startup instead of the baked-in
-        constants (PERF.md round-2 roadmap item)."""
+        constants (PERF.md round-2 roadmap item). ``mesh`` (a
+        ``jax.sharding.Mesh`` with 'data'/'graph' axes) runs the FORA
+        top-k serving path on the mesh via
+        :class:`~ppr_tpu.parallel.sharded_fora.ShardedForaTopk`."""
         self.dataset = dataset
         self.eps = eps
         self.k = k
         conf = AlgoConf(alpha, seed=seed)
-        self._topk_algo = conf.new_algo_obj(algorithm, dataset, k)
+        if mesh is not None and algorithm == AlgoType.FORA_TOPK:
+            from .parallel.sharded_fora import ShardedForaTopk
+
+            self._topk_algo = ShardedForaTopk(dataset, alpha=alpha, k=k,
+                                              mesh=mesh)
+        else:
+            self._topk_algo = conf.new_algo_obj(algorithm, dataset, k)
         self._wg_algo = conf.new_algo_obj(
             AlgoType.FORA_WHOLE_GRAPH
             if algorithm == AlgoType.FORA_TOPK else algorithm,

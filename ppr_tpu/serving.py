@@ -270,11 +270,21 @@ def main(argv=None) -> int:
                     help="dense-hub hybrid SpMV hub count")
     ap.add_argument("--max-batch", type=int, default=1024)
     ap.add_argument("--max-delay-ms", type=float, default=0.0)
+    ap.add_argument("--mesh", default=None, metavar="DATAxGRAPH",
+                    help="serve from the sharded engine on a DATAxGRAPH "
+                         "device mesh (e.g. 4x2)")
     args = ap.parse_args(argv)
 
+    mesh = None
+    if args.mesh:
+        from .parallel.sharded import make_mesh
+
+        d, g = (int(x) for x in args.mesh.lower().split("x"))
+        mesh = make_mesh(d * g, data=d, graph=g)
     ds = load_dataset(args.db)
     svc = PPRService.from_dataset(ds, alpha=args.alpha, eps=args.eps,
-                                  k=args.k, hub_split=args.hub_split)
+                                  k=args.k, hub_split=args.hub_split,
+                                  mesh=mesh)
     print(json.dumps({"ready": True, "dataset": ds.name,
                       "n": ds.graph.n, "m": ds.graph.m}),
           file=sys.stderr, flush=True)

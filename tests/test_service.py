@@ -85,3 +85,19 @@ def test_fora_topk_ids_batch_matches_dense(got):
         a = set(topk_ids_with_ties(dense[i], 10).tolist())
         b = set(topk_ids_with_ties_from_pairs(vals[i], ids[i], 10).tolist())
         assert a == b
+
+
+def test_service_on_mesh_matches_single(got):
+    """PPRService(mesh=...) serves FORA top-k from the sharded engine and
+    returns the same hits as the single-device service."""
+    from ppr_tpu.parallel.sharded import make_mesh
+    from ppr_tpu.service import PPRService
+
+    single = PPRService.from_dataset(got, alpha=0.15, k=10, seed=3)
+    meshed = PPRService.from_dataset(got, alpha=0.15, k=10, seed=3,
+                                     mesh=make_mesh(8, data=4, graph=2))
+    sources = [3, 14, 50, 7, 101]
+    want = single.top_k(sources, k=10)
+    got_rows = meshed.top_k(sources, k=10)
+    for w_row, g_row in zip(want, got_rows):
+        assert {h.node for h in g_row} == {h.node for h in w_row}
