@@ -50,6 +50,17 @@ class BackwardSearch:
         """pi(., t) for a batch of targets — rows indexed by target."""
         import time
 
+        p = self.whole_graph_device(targets)  # accounts its own duration
+        t0 = time.perf_counter_ns()
+        out = np.asarray(p)
+        self.duration_ns += time.perf_counter_ns() - t0
+        return out
+
+    def whole_graph_device(self, targets: np.ndarray) -> jax.Array:
+        """Device-resident reserve [T, n_pad] — consumers that select on
+        device (BASE threshold compaction) avoid the dense host copy."""
+        import time
+
         t0 = time.perf_counter_ns()
         p, _ = backward_search_batch(
             self.graph,
@@ -57,9 +68,9 @@ class BackwardSearch:
             jnp.float32(self.rmax),
             self.alpha,
         )
-        out = np.asarray(p)
+        p.block_until_ready()
         self.duration_ns += time.perf_counter_ns() - t0
-        return out
+        return p
 
     def get_duration(self) -> int:
         return self.duration_ns

@@ -62,15 +62,23 @@ class BaseAllPair(PPRAlgorithm):
         bws = self._make_bws(threshold)
         report = progress_printer(n, enabled=progress)
 
-        # accumulate pi(s, t) >= threshold as COO triplets (vectorized)
+        # accumulate pi(s, t) >= threshold as COO triplets; selection runs
+        # on device (ops/compact.py) so only the kept entries cross the
+        # slow device->host link — the dense [T, n_pad] copy is the
+        # bottleneck of the all-pair sweep on big graphs
+        from ..ops.compact import threshold_nonzeros
+
+        node_mask = self.graph.node_mask
         v_parts, t_parts, val_parts = [], [], []
         for start in range(0, n, self.target_batch):
             targets = np.arange(start, min(start + self.target_batch, n))
-            reserve = bws.whole_graph(targets)       # [T, n_pad]; row t, col v
-            keep_t, keep_v = np.nonzero(reserve[:, :n] >= threshold)
-            v_parts.append(keep_v.astype(np.int64))
+            reserve = bws.whole_graph_device(targets)  # [T', n_pad] device
+            keep_t, keep_v, vals = threshold_nonzeros(
+                reserve, node_mask, threshold, rows=len(targets)
+            )
+            v_parts.append(keep_v)
             t_parts.append(targets[keep_t])
-            val_parts.append(reserve[keep_t, keep_v])
+            val_parts.append(vals)
             report(min(start + self.target_batch, n) - 1)
 
         v_all = np.concatenate(v_parts) if v_parts else np.zeros(0, np.int64)

@@ -160,9 +160,17 @@ class ShardedBackwardSearch:
         )
 
     def whole_graph(self, targets: np.ndarray) -> np.ndarray:
-        """pi(., t) for a batch of targets — rows indexed by target.
-        Pads the batch to a multiple of the 'data' axis; padding rows
-        recompute target 0 and are dropped before returning."""
+        """pi(., t) for a batch of targets — rows indexed by target."""
+        p = self.whole_graph_device(targets)  # accounts its own duration
+        t0 = time.perf_counter_ns()
+        out = np.asarray(p)[: len(targets)]
+        self.duration_ns += time.perf_counter_ns() - t0
+        return out
+
+    def whole_graph_device(self, targets: np.ndarray) -> jax.Array:
+        """Device-resident reserve; rows past ``len(targets)`` are padding
+        (the batch is padded to a multiple of the 'data' axis — padding
+        rows recompute target 0 and must be dropped by the consumer)."""
         t0 = time.perf_counter_ns()
         targets = np.asarray(targets, np.int32)
         b = len(targets)
@@ -181,9 +189,9 @@ class ShardedBackwardSearch:
             out = self._fn(a["edge_src"], a["edge_dst"], a["out_deg"],
                            a["in_deg"], a["node_mask"], tj,
                            jnp.float32(self.rmax))
-        res = np.asarray(out)[:b]
+        out.block_until_ready()
         self.duration_ns += time.perf_counter_ns() - t0
-        return res
+        return out
 
     def get_duration(self) -> int:
         return self.duration_ns
