@@ -82,7 +82,9 @@ def _pow2_bucket(x: int) -> int:
     return 1 << max(10, int(math.ceil(math.log2(max(x, 1)))))
 
 
-#: (graph-id, n_pad, batch, alpha) tuples whose push program has been warmed
+#: program-shape tuples (n_pad, m_pad, weighted, dense, batch, alpha) whose
+#: push program has been warmed — bounded by the distinct shapes a process
+#: ever runs
 _WARMED_PUSH_SHAPES: set = set()
 
 #: walk-phase chunking budget: keep each chunk's walker total comfortably
@@ -120,7 +122,10 @@ def _walk_contrib_chunked(g, om, w, next_key, alpha, no_zero_hop):
         while hi < b and acc + row_est[hi] * margin <= _WALK_CHUNK_BUDGET:
             acc += row_est[hi] * margin
             hi += 1
-        om_c, w_c = om[lo:hi], w[lo:hi]
+        # group height is pow2-bucketed and the offset is a traced scalar,
+        # so the data-dependent group boundaries never mint new XLA
+        # programs (remote compiles cost minutes per shape on this backend)
+        hb = max(8, 1 << int(math.ceil(math.log2(hi - lo))))
         passes = max(1, int(math.ceil(
             row_est[lo:hi].sum() * margin / _WALK_CHUNK_BUDGET
         )))
@@ -128,15 +133,55 @@ def _walk_contrib_chunked(g, om, w, next_key, alpha, no_zero_hop):
             # split om into `passes` integer parts summing exactly to om;
             # per-walk weight is unchanged, so the passes just partition the
             # same walk population
-            om_j = om_c // passes + ((om_c % passes) > j).astype(jnp.int32) \
-                if passes > 1 else om_c
-            total = int(jnp.sum(om_j))
+            total = int(_group_pass_total(
+                om, jnp.int32(lo), jnp.int32(hi), hb, jnp.int32(passes),
+                jnp.int32(j)
+            ))
             if total > 0:
-                contrib = _walk_contrib(g, om_j, w_c, next_key(), alpha,
-                                        _pow2_bucket(total), no_zero_hop)
-                out = out.at[lo:hi].add(contrib)
+                out = out + _walk_contrib_rows(
+                    g, om, w, next_key(), alpha, _pow2_bucket(total), hb,
+                    no_zero_hop, jnp.int32(lo), jnp.int32(hi),
+                    jnp.int32(passes), jnp.int32(j),
+                )
         lo = hi
     return out
+
+
+def _group_pass_rows(om, row_lo, row_hi, hb, passes, pass_j):
+    """The (row group, pass) walk-count partition: `hb` rows gathered at
+    traced offset ``row_lo`` (rows at/past the group end ``row_hi`` are
+    zeroed — they belong to other groups), split into ``passes`` integer
+    parts that sum exactly to om."""
+    b = om.shape[0]
+    rows = row_lo + jnp.arange(hb, dtype=jnp.int32)
+    valid = rows < row_hi
+    rows_c = jnp.minimum(rows, b - 1)
+    om_c = jnp.take(om, rows_c, axis=0) * valid[:, None]
+    om_j = om_c // passes + ((om_c % passes) > pass_j).astype(om_c.dtype)
+    return om_j, rows, valid, rows_c
+
+
+@partial(jax.jit, static_argnames=("hb",))
+def _group_pass_total(om, row_lo, row_hi, hb, passes, pass_j):
+    """Exact walker total of one (row group, pass) — int32-safe because the
+    chunking loop keeps every group/pass under _WALK_CHUNK_BUDGET."""
+    om_j, _, _, _ = _group_pass_rows(om, row_lo, row_hi, hb, passes, pass_j)
+    return jnp.sum(om_j)
+
+
+@partial(jax.jit, static_argnames=("alpha", "cap", "hb", "no_zero_hop"))
+def _walk_contrib_rows(g, om, w, key, alpha, cap, hb, no_zero_hop,
+                       row_lo, row_hi, passes, pass_j):
+    """One group/pass of the chunked walk phase as a shape-stable program:
+    only O(log B x log cap) distinct (hb, cap) shapes ever compile."""
+    b = om.shape[0]
+    om_j, rows, valid, rows_c = _group_pass_rows(om, row_lo, row_hi, hb,
+                                                 passes, pass_j)
+    w_c = jnp.take(w, rows_c, axis=0)
+    contrib = _walk_contrib(g, om_j, w_c, key, alpha, cap, no_zero_hop)
+    # scatter the group's rows back; padding rows target index b -> dropped
+    out_rows = jnp.where(valid, rows, b)
+    return jnp.zeros_like(w).at[out_rows].add(contrib, mode="drop")
 
 
 def _pad_sources(sources, min_b: int = 8):
@@ -452,9 +497,12 @@ class ForaWholeGraph(PreprocessingMixin, _ForaCostModel, PPRAlgorithm):
         p, r, src_onehot = forward_push_init(g, sources_j)
         # untimed warmup so first-call jit compilation (minutes on a cold TPU
         # cache) never pollutes the push/completion cost balance — once per
-        # (graph, batch-shape, alpha), not per call (steady-state calls skip
-        # the discarded extra push entirely)
-        warm_key = (id(g.indptr), g.n_pad, b, self.alpha)
+        # program shape, not per call (steady-state calls skip the discarded
+        # extra push entirely). The key mirrors what the XLA compile cache
+        # keys on — array shapes/dtypes + static args — so two graphs with
+        # identical shapes correctly share one warmup
+        warm_key = (g.n_pad, int(g.edge_src.shape[0]), g.weighted,
+                    g.has_dense, b, self.alpha)
         if warm_key not in _WARMED_PUSH_SHAPES:
             jax.block_until_ready(forward_push_sweeps(
                 g, p, r, src_onehot, jnp.float32(rmax), self.alpha

@@ -72,7 +72,9 @@ def threshold_nonzeros(p, node_mask, threshold, *, rows: int | None = None):
     if count == 0:
         z = np.zeros(0, np.int64)
         return z, z, np.zeros(0, np.float32)
-    if count * 8 >= t * n_pad * 4:  # sparse format would ship more bytes
+    # compare what the sparse path actually ships — the pow2 capacity, up
+    # to 2x count — against the dense copy
+    if _pow2_at_least(count) * 8 >= t * n_pad * 4:
         dense = np.asarray(p)
         if rows is not None:
             dense = dense[:rows]

@@ -338,7 +338,7 @@ def make_node_sharded_walk_counts(mesh: Mesh, g: Graph, alpha: float,
     circulate the same ring, so per-device output is ``[B_local, n_local]``
     — every array O(1/S), the true memory-scaling walk path.
 
-    Returns ``call(starts, rows_ignored, weights, key) -> counts`` where
+    Returns ``call(starts, weights, key) -> counts`` where
     ``starts``/``weights`` are ``[B, W]`` (sharded data x graph) and counts
     come back ``[B, n_pad]`` sharded (data, graph) over node columns.
     """

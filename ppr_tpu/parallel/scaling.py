@@ -77,6 +77,13 @@ def engine_scaling_sweep(
     devices = jax.devices()
     if device_counts is None:
         device_counts = [d for d in (1, 2, 4, 8) if d <= len(devices)]
+    if device_counts != sorted(device_counts) or device_counts[0] != 1:
+        # the overhead_vs_1dev / efficiency fields are defined relative to
+        # the 1-device row; any other baseline would mislabel the results
+        raise ValueError(
+            f"device_counts must be ascending and start at 1, got "
+            f"{device_counts}"
+        )
     is_proxy = devices[0].platform == "cpu"
 
     rng = np.random.default_rng(11)

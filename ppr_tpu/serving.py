@@ -48,6 +48,9 @@ class ServerStats:
     padded_rows: int = 0
     batch_sizes: list = field(default_factory=list)
     latencies_ms: list = field(default_factory=list)
+    #: cap on retained per-request samples; a long-running daemon would
+    #: otherwise grow without bound (~49M floats/day at the measured qps)
+    max_latency_samples: int = 1_000_000
 
     @property
     def mean_batch(self) -> float:
@@ -180,9 +183,10 @@ class PPRBatchServer:
                         f.set_exception(e)
                     continue
                 done = time.perf_counter()
-                self.stats.latencies_ms.extend(
-                    (done - t) * 1e3 for t in submits
-                )
+                lat = self.stats.latencies_ms
+                lat.extend((done - t) * 1e3 for t in submits)
+                if len(lat) > self.stats.max_latency_samples:
+                    del lat[: len(lat) - self.stats.max_latency_samples]
                 for f, row in zip(futs, rows):
                     f.set_result(row)
 

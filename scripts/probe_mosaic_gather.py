@@ -123,7 +123,16 @@ def main() -> int:
     results = {}
     for name, code in PROBES.items():
         if args.interpret:
-            code = code.replace("pl.pallas_call(", "pl.pallas_call(")
+            # force the CPU backend and patch pallas_call to interpreter
+            # mode before the probe code imports it
+            code = (
+                "import jax, functools\n"
+                "jax.config.update('jax_platforms', 'cpu')\n"
+                "from jax.experimental import pallas as _pl\n"
+                "_pl.pallas_call = functools.partial(_pl.pallas_call,\n"
+                "                                    interpret=True)\n"
+                + code
+            )
         try:
             r = subprocess.run(
                 [sys.executable, "-c", code], capture_output=True,

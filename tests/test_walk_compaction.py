@@ -65,3 +65,42 @@ def test_weighted_walk_counts_matches_uncompacted(got):
     expect = np.zeros(g.n_pad, np.float32)
     np.add.at(expect, np.asarray(stops), 1.0)
     np.testing.assert_allclose(np.asarray(counts[0]), expect)
+
+
+def test_walk_contrib_chunked_branch(got, monkeypatch):
+    """The int32-overflow-safe chunked branch (groups + integer pass
+    splits) is unreachable at test scale by default; shrink the budget to
+    force it and check the invariant that holds exactly regardless of
+    where walks stop: every (row, node) walk population deposits
+    om[row, node] * w[row, node] total mass into that same row."""
+    import jax.numpy as jnp
+    import ppr_tpu.models.fora as fora_mod
+
+    g = got.graph
+    rng = np.random.default_rng(3)
+    b = 5
+    om_np = np.zeros((b, g.n_pad), np.int32)
+    nodes = rng.integers(0, g.n, size=(b, 12))
+    om_np[np.arange(b)[:, None], nodes] = rng.integers(1, 40, size=(b, 12))
+    w_np = np.zeros((b, g.n_pad), np.float32)
+    w_np[om_np > 0] = rng.random((om_np > 0).sum(), dtype=np.float32) + 0.5
+
+    om, w = jnp.asarray(om_np), jnp.asarray(w_np)
+    key_it = iter(jax.random.split(jax.random.key(0), 512))
+
+    # budget below single-row totals: forces multi-group AND multi-pass
+    monkeypatch.setattr(fora_mod, "_WALK_CHUNK_BUDGET", 64)
+    chunked = np.asarray(fora_mod._walk_contrib_chunked(
+        g, om, w, lambda: next(key_it), 0.15, False
+    ))
+    want_row_mass = (om_np * w_np).sum(axis=1)
+    np.testing.assert_allclose(chunked.sum(axis=1), want_row_mass,
+                               rtol=1e-5)
+    assert (chunked >= 0).all()
+
+    # sanity: the unchunked path conserves the same row mass
+    monkeypatch.setattr(fora_mod, "_WALK_CHUNK_BUDGET", 1 << 28)
+    single = np.asarray(fora_mod._walk_contrib_chunked(
+        g, om, w, lambda: next(key_it), 0.15, False
+    ))
+    np.testing.assert_allclose(single.sum(axis=1), want_row_mass, rtol=1e-5)
