@@ -118,6 +118,21 @@ class BaseAllPair(PPRAlgorithm):
         store.finalize(threshold=threshold, k=k)
         self._store, self._threshold, self._k = store, threshold, k
 
+    def attach_store(self, threshold: float, k: int = -1) -> None:
+        """Attach a previously persisted all-pair store — a fresh process
+        answering queries against an existing preprocessing run (the
+        reference's read-the-files usage, Base_Whole_Graph.java:167-186)."""
+        import os
+
+        store = self.make_store(float(threshold), int(k))
+        if not os.path.exists(os.path.join(store.root, "manifest.json")):
+            raise FileNotFoundError(
+                f"no finalized BASE store at {store.root}; run "
+                f"preprocessing({threshold}, {k}) first"
+            )
+        self._store = store
+        self._threshold, self._k = float(threshold), int(k)
+
     # --- query path (file reads, like the reference) ----------------------
     def compute_whole_graph_batch(self, sources: np.ndarray, param=None) -> np.ndarray:
         if self._store is None:

@@ -37,7 +37,8 @@ class PPRService:
                  eps: float = 0.5, k: int = 10, seed: int = 0,
                  algorithm: AlgoType = AlgoType.FORA_TOPK,
                  hub_split: int | None = None, hub_dtype=None,
-                 calibrate: bool = False, mesh=None):
+                 calibrate: bool = False, mesh=None,
+                 precomputed: tuple | None = None):
         """``hub_split=H`` enables the dense-hub hybrid SpMV with H hubs in
         the FORA serving kernels (bf16 hub matrix unless ``hub_dtype``
         overrides — the measured-fastest serving config on power-law
@@ -46,11 +47,21 @@ class PPRService:
         constants (PERF.md round-2 roadmap item). ``mesh`` (a
         ``jax.sharding.Mesh`` with 'data'/'graph' axes) runs the FORA
         top-k serving path on the mesh via
-        :class:`~ppr_tpu.parallel.sharded_fora.ShardedForaTopk`."""
+        :class:`~ppr_tpu.parallel.sharded_fora.ShardedForaTopk`.
+        ``precomputed=(threshold, k)`` serves every query from an existing
+        BASE all-pair store — pure precomputed reads, the reference's BASE
+        query mode (Base_Whole_Graph.java:167-186) as a service."""
         self.dataset = dataset
         self.eps = eps
         self.k = k
         conf = AlgoConf(alpha, seed=seed)
+        if precomputed is not None:
+            thr, pk = (precomputed if isinstance(precomputed, (tuple, list))
+                       else (precomputed, -1))
+            base = conf.new_algo_obj(AlgoType.BASE_WHOLE_GRAPH, dataset, k)
+            base.attach_store(thr, pk)
+            self._topk_algo = self._wg_algo = base
+            return
         if mesh is not None and algorithm == AlgoType.FORA_TOPK:
             from .parallel.sharded_fora import ShardedForaTopk
 

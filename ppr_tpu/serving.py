@@ -277,6 +277,9 @@ def main(argv=None) -> int:
     ap.add_argument("--mesh", default=None, metavar="DATAxGRAPH",
                     help="serve from the sharded engine on a DATAxGRAPH "
                          "device mesh (e.g. 4x2)")
+    ap.add_argument("--precomputed", default=None, metavar="THRESHOLD[,K]",
+                    help="serve from an existing BASE all-pair store "
+                         "(pure precomputed reads, no device work)")
     args = ap.parse_args(argv)
 
     mesh = None
@@ -285,10 +288,15 @@ def main(argv=None) -> int:
 
         d, g = (int(x) for x in args.mesh.lower().split("x"))
         mesh = make_mesh(d * g, data=d, graph=g)
+    precomputed = None
+    if args.precomputed:
+        parts = args.precomputed.split(",")
+        precomputed = (float(parts[0]),
+                       int(parts[1]) if len(parts) > 1 else -1)
     ds = load_dataset(args.db)
     svc = PPRService.from_dataset(ds, alpha=args.alpha, eps=args.eps,
                                   k=args.k, hub_split=args.hub_split,
-                                  mesh=mesh)
+                                  mesh=mesh, precomputed=precomputed)
     print(json.dumps({"ready": True, "dataset": ds.name,
                       "n": ds.graph.n, "m": ds.graph.m}),
           file=sys.stderr, flush=True)

@@ -101,3 +101,31 @@ def test_service_on_mesh_matches_single(got):
     got_rows = meshed.top_k(sources, k=10)
     for w_row, g_row in zip(want, got_rows):
         assert {h.node for h in g_row} == {h.node for h in w_row}
+
+
+def test_service_precomputed_store(got, tmp_path, monkeypatch):
+    """precomputed=(threshold, k) serves every query from an existing BASE
+    all-pair store — no device work — and a fresh service in a new
+    'process' (fresh objects) can attach the same store."""
+    import pytest
+
+    from ppr_tpu.models.base_allpair import BaseAllPair
+    from ppr_tpu.service import PPRService
+
+    monkeypatch.chdir(tmp_path)
+    threshold = 1e-3
+    BaseAllPair(got, 0.15, target_batch=128).preprocessing(
+        threshold, -1, progress=False)
+
+    svc = PPRService.from_dataset(got, alpha=0.15, k=10,
+                                  precomputed=(threshold, -1))
+    hits = svc.top_k([3, 14], k=10)
+    assert hits and hits[0][0].node is not None
+    dense = svc.whole_graph([3])
+    assert dense.shape[1] == got.graph.n
+    # served scores are exactly the stored reverse-push reserves
+    top = hits[0][0]
+    assert dense[0][top.node] == top.score
+
+    with pytest.raises(FileNotFoundError):
+        PPRService.from_dataset(got, precomputed=(0.12345, -1))
