@@ -348,7 +348,17 @@ class PerfHarness:
                 ))
 
         if 3 in tests:
-            prep_spec = spec.get("prep", spec["whole_graph"])
+            prep_spec = spec.get("prep")
+            if prep_spec is None:
+                # the reference defines no preprocessing sweep for this
+                # dataset (e.g. Gen_Util.java:421-449 amazon runs Tests 1-2
+                # only); falling back to the whole-graph arrays would burn
+                # hours on big graphs for a test the protocol doesn't run
+                self.writer.section(
+                    "# Test 3 skipped: no preprocessing sweep defined for "
+                    "this dataset"
+                )
+                return results
             self.writer.section("Test 3. Preprocessing test")
             for i, (algo, params) in enumerate(prep_spec.items(), 1):
                 self.writer.section(f"3.{i} {algo.value}")

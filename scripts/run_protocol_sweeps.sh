@@ -12,5 +12,6 @@ for name in grqc blogcatalog flickr amazon; do
   echo "=== sweep: $name ($(date -u +%H:%M:%S)) ==="
   timeout 7200 python -m ppr_tpu.cli --db "synth:$name" --out-dir results \
     --budget-s "$BUDGET" 2>&1 | tail -20
-  echo "=== done: $name rc=$? ($(date -u +%H:%M:%S)) ==="
+  rc=${PIPESTATUS[0]}   # the python/timeout status, not tail's
+  echo "=== done: $name rc=$rc ($(date -u +%H:%M:%S)) ==="
 done
