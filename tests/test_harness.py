@@ -57,3 +57,19 @@ def test_cli_smoke(tmp_path, monkeypatch, capsys):
     assert ds.graph.n == 300
     args = build_parser().parse_args(["--query", "3", "--k", "5"])
     assert args.alpha == 0.15 and args.eps == 0.5
+
+
+def test_batch_test_skips_undefined_prep(tmp_path, monkeypatch):
+    """Datasets whose reference protocol has no preprocessing sweep
+    (amazon/flickr/blogcatalog/grqc, Gen_Util.java:334-449) must get an
+    explicit skip note for Test 3, never a silent whole-graph fallback."""
+    monkeypatch.chdir(tmp_path)
+    from ppr_tpu.cli import load_dataset
+
+    ds = load_dataset("synth:200x4@2")
+    h = PerfHarness(ds, seed=0, out_dir=str(tmp_path), progress=False)
+    h.algo_perf_batch_test(query_num=2, k=5, sweep="amazon", tests=(3,),
+                           budget_s=1.0)
+    report = (tmp_path / f"{ds.name}_AlgoPerfResults.txt").read_text()
+    assert "Test 3 skipped: no preprocessing sweep" in report
+    assert "Test 3. Preprocessing test" not in report
