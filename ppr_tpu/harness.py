@@ -81,6 +81,13 @@ SWEEPS: dict[str, dict] = {
             AlgoType.FWDPUSH: [1.0e-6, 5.0e-7, 1.0e-7, 5.0e-8, 1.0e-8],
             AlgoType.NEO4J_METHOD: [1, 5, 10, 40, 100],
         },
+        "prep": {  # Gen_Util.java:355-362
+            AlgoType.BASE_WHOLE_GRAPH: [0.001, 7.0e-4, 5.0e-4, 1.0e-4, 5.0e-5],
+            AlgoType.FORA_WHOLE_GRAPH: [50.0, 10.0, 5.0, 1.0, 0.5],
+            AlgoType.MC: [5.0, 1.0, 0.7, 0.5, 0.3],
+            AlgoType.FWDPUSH: [1.0e-6, 7.0e-7, 5.0e-7, 3.0e-7, 1.0e-7],
+            AlgoType.NEO4J_METHOD: [1, 5, 10, 40, 100],
+        },
     },
     "flickr": {  # Gen_Util.java:364-389
         "topk": {
@@ -96,6 +103,15 @@ SWEEPS: dict[str, dict] = {
             AlgoType.NEO4J_METHOD: [1, 5, 10, 40, 100],
             AlgoType.MC: [10.0, 5.0, 1.0, 0.5, 0.3],
             AlgoType.BASE_WHOLE_GRAPH: [0.005, 0.001, 5.0e-4, 1.0e-4, 7.0e-5],
+        },
+        "prep": {  # Gen_Util.java:377-382
+            AlgoType.BASE_WHOLE_GRAPH: [0.01, 0.005, 0.001, 7.0e-4, 5.0e-4,
+                                        1.0e-4, 7.0e-5, 5.0e-5, 3.0e-5,
+                                        1.0e-5],
+            AlgoType.FORA_WHOLE_GRAPH: [500.0, 200.0, 100.0, 20.0, 10.0],
+            AlgoType.FWDPUSH: [5.0e-5, 1.0e-5, 5.0e-6, 1.0e-6, 7.0e-7],
+            AlgoType.NEO4J_METHOD: [1, 5, 10, 40, 100],
+            AlgoType.MC: [20.0, 10.0, 7.0, 5.0, 3.0],
         },
     },
     "grqc": {  # Gen_Util.java:391-419
@@ -113,6 +129,13 @@ SWEEPS: dict[str, dict] = {
             AlgoType.MC: [1.0, 0.5, 0.3, 0.1, 0.05],
             AlgoType.BASE_WHOLE_GRAPH: [0.001, 5.0e-4, 5.0e-5, 1.0e-6, 5.0e-7],
         },
+        "prep": {  # Gen_Util.java:412-419
+            AlgoType.FORA_WHOLE_GRAPH: [10.0, 5.0, 0.5, 0.3, 0.1],
+            AlgoType.FWDPUSH: [1.0e-4, 1.0e-5, 1.0e-6, 5.0e-7, 1.0e-7],
+            AlgoType.NEO4J_METHOD: [5, 40, 100, 200, 300],
+            AlgoType.MC: [1.0, 0.5, 0.3, 0.2, 0.1],
+            AlgoType.BASE_WHOLE_GRAPH: [0.001, 5.0e-4, 5.0e-5, 1.0e-6, 5.0e-7],
+        },
     },
     "amazon": {  # Gen_Util.java:421-449
         "topk": {
@@ -128,6 +151,13 @@ SWEEPS: dict[str, dict] = {
             AlgoType.MC: [1.0, 0.7, 0.5, 0.3, 0.1],
             AlgoType.FWDPUSH: [1.0e-6, 5.0e-7, 3.0e-7, 5.0e-8, 1.0e-8],
             AlgoType.NEO4J_METHOD: [1, 5, 10, 40, 100],
+        },
+        "prep": {  # Gen_Util.java:441-448 (BASE's prep array is empty there)
+            AlgoType.FORA_WHOLE_GRAPH: [500.0, 200.0, 70.0, 50.0, 30.0],
+            AlgoType.BASE_WHOLE_GRAPH: [],
+            AlgoType.MC: [50.0, 20.0, 10.0, 7.0, 5.0],
+            AlgoType.FWDPUSH: [1.0e-5, 5.0e-5, 1.0e-6, 5.0e-7, 3.0e-7],
+            AlgoType.NEO4J_METHOD: [1],
         },
     },
 }

@@ -130,12 +130,35 @@ class PreprocessingMixin:
         store.reset()
         n = self.graph.n
         report = progress_printer(n, enabled=progress)
+        # algorithms exposing a device-resident whole-graph path get their
+        # positive entries selected ON DEVICE (ops/compact.py) — the dense
+        # [B, n_pad] host copy per batch is the all-pair sweep's bottleneck
+        # on big graphs (the device->host link runs ~20-25 MB/s here)
+        compute_dev = getattr(self, "compute_whole_graph_device", None)
         for start in range(0, n, batch_size):
             if store.has_batch(start):
                 continue
             sources = np.arange(start, min(start + batch_size, n))
-            scores = self.compute_whole_graph_batch(sources, param)
-            store.write_batch(start, sources, np.asarray(scores))
+            if compute_dev is not None:
+                from ..ops.compact import threshold_nonzeros
+
+                p_dev = compute_dev(sources, param)
+                # smallest positive f32 ~ the store's strict `row > 0` keep
+                rows, cols, vals = threshold_nonzeros(
+                    p_dev, self.graph.node_mask, float(np.finfo(np.float32).tiny),
+                    rows=len(sources),
+                )
+                counts = np.bincount(rows, minlength=len(sources))
+                ptr = np.concatenate([[0], np.cumsum(counts)])
+                store.write_batch_ordered(
+                    start, sources,
+                    [cols[ptr[i]:ptr[i + 1]].astype(np.int32)
+                     for i in range(len(sources))],
+                    [vals[ptr[i]:ptr[i + 1]] for i in range(len(sources))],
+                )
+            else:
+                scores = self.compute_whole_graph_batch(sources, param)
+                store.write_batch(start, sources, np.asarray(scores))
             report(min(start + batch_size, n) - 1)
         store.finalize()
         self._store = store

@@ -478,11 +478,19 @@ class ForaWholeGraph(PreprocessingMixin, _ForaCostModel, PPRAlgorithm):
         self.fresh_rounds = fresh_rounds
 
     def compute_whole_graph_batch(self, sources: np.ndarray, param) -> np.ndarray:
+        if len(sources) == 0:
+            return np.zeros((0, self.graph.n_pad), np.float32)
+        p = self.compute_whole_graph_device(sources, param)
+        return np.asarray(p)[: len(sources)]
+
+    def compute_whole_graph_device(self, sources: np.ndarray,
+                                   param) -> "jax.Array":
+        """Device-resident reserve [B_pad, n_pad]; rows past ``len(sources)``
+        are padding (consumers that select on device — preprocessing
+        compaction — skip the dense host copy)."""
         eps = float(param)
         g = self.graph
-        if len(sources) == 0:
-            return np.zeros((0, g.n_pad), np.float32)
-        sources, true_b = _pad_sources(sources)
+        sources, _ = _pad_sources(sources)
         m = max(g.m, 1)
         ln_term = math.log(2.0 / self.pfail)
         rmax = eps * math.sqrt(self.delta / 3.0 / m / ln_term) / (1.0 - self.alpha)
@@ -558,7 +566,7 @@ class ForaWholeGraph(PreprocessingMixin, _ForaCostModel, PPRAlgorithm):
         p, _ = apply_dangling_source_shortcircuit(
             g, sources_j, p, jnp.zeros_like(p), src_onehot
         )
-        return np.asarray(p)[:true_b]
+        return p
 
 
 class ForaTopk(_ForaCostModel, PPRAlgorithm):

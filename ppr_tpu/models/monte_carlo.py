@@ -72,6 +72,11 @@ class MonteCarlo(PreprocessingMixin, PPRAlgorithm):
         self.max_walk_batch = max_walk_batch
 
     def compute_whole_graph_batch(self, sources: np.ndarray, param) -> np.ndarray:
+        return np.asarray(self.compute_whole_graph_device(sources, param))
+
+    def compute_whole_graph_device(self, sources: np.ndarray, param):
+        """Device-resident scores (preprocessing compaction consumers skip
+        the dense host copy)."""
         eps = float(param)
         omega = mc_num_walks(eps, self.delta, self.pfail)
         sources = np.asarray(sources)
@@ -83,11 +88,9 @@ class MonteCarlo(PreprocessingMixin, PPRAlgorithm):
             total = int(chunk.shape[0]) * omega
             w_pad = 1 << max(10, math.ceil(math.log2(total)))
             outs.append(
-                np.asarray(
-                    mc_whole_graph_batch(
-                        self.graph, chunk, self.next_key(), self.alpha,
-                        omega, w_pad,
-                    )
+                mc_whole_graph_batch(
+                    self.graph, chunk, self.next_key(), self.alpha,
+                    omega, w_pad,
                 )
             )
-        return np.concatenate(outs, axis=0)
+        return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)

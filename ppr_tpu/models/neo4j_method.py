@@ -55,6 +55,11 @@ class Neo4jMethod(PreprocessingMixin, PPRAlgorithm):
     use_pallas = True
 
     def compute_whole_graph_batch(self, sources: np.ndarray, param) -> np.ndarray:
+        return np.asarray(self.compute_whole_graph_device(sources, param))
+
+    def compute_whole_graph_device(self, sources: np.ndarray, param):
+        """Device-resident scores (preprocessing compaction consumers skip
+        the dense host copy)."""
         from ..ops import pallas_dense
 
         iterations = int(param)
@@ -73,4 +78,4 @@ class Neo4jMethod(PreprocessingMixin, PPRAlgorithm):
             out = personalized_pagerank_batch(
                 self.graph, sources_j, damping, iterations
             )
-        return np.asarray(out)
+        return out

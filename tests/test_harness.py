@@ -60,16 +60,51 @@ def test_cli_smoke(tmp_path, monkeypatch, capsys):
 
 
 def test_batch_test_skips_undefined_prep(tmp_path, monkeypatch):
-    """Datasets whose reference protocol has no preprocessing sweep
-    (amazon/flickr/blogcatalog/grqc, Gen_Util.java:334-449) must get an
-    explicit skip note for Test 3, never a silent whole-graph fallback."""
+    """A sweep spec without a preprocessing section must get an explicit
+    skip note for Test 3, never a silent whole-graph fallback (all five
+    built-in specs now carry the reference's prep arrays; this guards
+    custom/partial specs)."""
     monkeypatch.chdir(tmp_path)
     from ppr_tpu.cli import load_dataset
 
     ds = load_dataset("synth:200x4@2")
+    monkeypatch.setitem(
+        SWEEPS, "noprep",
+        {"whole_graph": SWEEPS["got"]["whole_graph"],
+         "topk": SWEEPS["got"]["topk"]},
+    )
     h = PerfHarness(ds, seed=0, out_dir=str(tmp_path), progress=False)
-    h.algo_perf_batch_test(query_num=2, k=5, sweep="amazon", tests=(3,),
+    h.algo_perf_batch_test(query_num=2, k=5, sweep="noprep", tests=(3,),
                            budget_s=1.0)
     report = (tmp_path / f"{ds.name}_AlgoPerfResults.txt").read_text()
     assert "Test 3 skipped: no preprocessing sweep" in report
     assert "Test 3. Preprocessing test" not in report
+
+
+def test_sweep_specs_have_reference_prep_arrays():
+    """Every built-in dataset spec carries the reference's preprocessing
+    arrays (Gen_Util.java:355-362, :377-382, :412-419, :441-448); amazon's
+    BASE prep array is empty in the reference and stays empty here."""
+    for name in SWEEPS:
+        assert "prep" in SWEEPS[name], name
+    assert SWEEPS["amazon"]["prep"][AlgoType.BASE_WHOLE_GRAPH] == []
+    assert len(SWEEPS["flickr"]["prep"][AlgoType.BASE_WHOLE_GRAPH]) == 10
+
+
+def test_preprocessing_device_path_matches_host_select(got, tmp_path,
+                                                       monkeypatch):
+    """The device-compaction store rows equal a host-side threshold of the
+    dense whole-graph batch (ForwardPush as the probe algorithm)."""
+    monkeypatch.chdir(tmp_path)
+    from ppr_tpu.models.forward_push import ForwardPush
+
+    algo = ForwardPush(got, 0.15, seed=1)
+    assert hasattr(algo, "compute_whole_graph_device")
+    algo.preprocessing(-1.0, 1e-4, progress=False)
+    dense = algo.compute_whole_graph_batch(np.arange(got.graph.n), 1e-4)
+    for s in (0, 7, 50, got.graph.n - 1):
+        row = algo._store.read_row(s)
+        want = dense[s][: got.graph.n_pad]
+        keep = want > 0.0
+        np.testing.assert_allclose(row[keep], want[keep])
+        assert (row[~keep] == 0).all()
