@@ -24,10 +24,16 @@ _MANIFEST = "manifest.json"
 
 
 class PPRStore:
+    #: shards kept decompressed in memory for the read paths (the
+    #: precomputed serving mode reads rows per query; re-inflating the
+    #: npz per read would dominate the file-read query cost)
+    _SHARD_CACHE_CAP = 4
+
     def __init__(self, root: str, n: int):
         self.root = root
         self.n = n
         self._row_index: dict[int, str] | None = None
+        self._shard_cache: dict[str, dict[str, np.ndarray]] = {}
 
     # --- write path -------------------------------------------------------
     def reset(self) -> None:
@@ -39,6 +45,7 @@ class PPRStore:
             shutil.rmtree(self.root, ignore_errors=True)
         os.makedirs(self.root, exist_ok=True)
         self._row_index = None
+        self._shard_cache.clear()
 
     def has_batch(self, start: int) -> bool:
         return os.path.exists(self._shard_path(start))
@@ -86,15 +93,29 @@ class PPRStore:
         os.replace(tmp + ".npz", self._shard_path(start))
 
     def read_row_ordered(self, source: int):
-        """(ids, vals) for one source in stored order."""
+        """(ids, vals) for one source in stored order (views into the
+        shard cache — treat as read-only)."""
+        z = self._load_shard(source)
+        pos = int(np.nonzero(z["sources"] == source)[0][0])
+        lo, hi = int(z["indptr"][pos]), int(z["indptr"][pos + 1])
+        return z["ids"][lo:hi], z["vals"][lo:hi]
+
+    def _load_shard(self, source: int) -> dict[str, np.ndarray]:
         index = self._build_index()
         shard = index.get(int(source))
         if shard is None:
             raise KeyError(f"source {source} not in store {self.root}")
-        with np.load(os.path.join(self.root, shard)) as z:
-            pos = int(np.nonzero(z["sources"] == source)[0][0])
-            lo, hi = int(z["indptr"][pos]), int(z["indptr"][pos + 1])
-            return z["ids"][lo:hi].copy(), z["vals"][lo:hi].copy()
+        cached = self._shard_cache.get(shard)
+        if cached is None:
+            with np.load(os.path.join(self.root, shard)) as z:
+                cached = {k: z[k] for k in ("sources", "indptr", "ids",
+                                            "vals")}
+            if self._SHARD_CACHE_CAP > 0:
+                while len(self._shard_cache) >= self._SHARD_CACHE_CAP:
+                    # evict the oldest insertion (dicts preserve order)
+                    self._shard_cache.pop(next(iter(self._shard_cache)))
+                self._shard_cache[shard] = cached
+        return cached
 
     def finalize(self, **extra) -> None:
         shards = sorted(
@@ -109,16 +130,9 @@ class PPRStore:
     def read_row(self, source: int) -> np.ndarray:
         """Dense f32[n] row for one source (the query path of preprocessing
         mode — the reference's readPreprocessedPPR file read)."""
-        index = self._build_index()
-        shard = index.get(int(source))
-        if shard is None:
-            raise KeyError(f"source {source} not in store {self.root}")
-        with np.load(os.path.join(self.root, shard)) as z:
-            sources = z["sources"]
-            pos = int(np.nonzero(sources == source)[0][0])
-            lo, hi = int(z["indptr"][pos]), int(z["indptr"][pos + 1])
-            row = np.zeros(self.n, np.float32)
-            row[z["ids"][lo:hi]] = z["vals"][lo:hi]
+        ids, vals = self.read_row_ordered(source)
+        row = np.zeros(self.n, np.float32)
+        row[ids] = vals
         return row
 
     def _build_index(self) -> dict[int, str]:
@@ -140,6 +154,7 @@ class PPRStore:
 
     def delete(self) -> None:
         shutil.rmtree(self.root, ignore_errors=True)
+        self._shard_cache.clear()
 
     def _shard_path(self, start: int) -> str:
         return os.path.join(self.root, f"batch_{start:09d}.npz")
