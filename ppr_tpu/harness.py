@@ -331,10 +331,12 @@ class PerfHarness:
                              ) -> list[PerfResult]:
         """Run the three protocol tests. ``tests`` selects a subset;
         ``budget_s`` caps wall time per (algorithm, test) section — once a
-        section exceeds it, the remaining (more expensive) sweep params are
-        skipped with an explicit note row in the result file (params are
-        ordered cheap-to-expensive in every sweep array, matching the
-        reference). Nothing is dropped silently."""
+        section exceeds it, the remaining sweep params are skipped with an
+        explicit note row in the result file. The arrays transcribe the
+        reference verbatim and are cheap-to-expensive in all but one case
+        (amazon's prep FWDPUSH leads with its tightest rmax,
+        Gen_Util.java:444), so truncation usually drops only the expensive
+        tail — and never silently either way."""
         spec = SWEEPS.get(sweep or self.dataset.name) or SWEEPS["got"]
         self.writer.header()
         results = []
@@ -380,10 +382,9 @@ class PerfHarness:
         if 3 in tests:
             prep_spec = spec.get("prep")
             if prep_spec is None:
-                # the reference defines no preprocessing sweep for this
-                # dataset (e.g. Gen_Util.java:421-449 amazon runs Tests 1-2
-                # only); falling back to the whole-graph arrays would burn
-                # hours on big graphs for a test the protocol doesn't run
+                # custom/partial sweep specs may omit the preprocessing
+                # section; falling back to the whole-graph arrays would burn
+                # hours on big graphs for a test the spec doesn't define
                 self.writer.section(
                     "# Test 3 skipped: no preprocessing sweep defined for "
                     "this dataset"

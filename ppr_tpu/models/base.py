@@ -143,10 +143,10 @@ class PreprocessingMixin:
                 from ..ops.compact import threshold_nonzeros
 
                 p_dev = compute_dev(sources, param)
-                # smallest positive f32 ~ the store's strict `row > 0` keep
+                # strict `> 0` keep — identical to write_batch's host path
                 rows, cols, vals = threshold_nonzeros(
-                    p_dev, self.graph.node_mask, float(np.finfo(np.float32).tiny),
-                    rows=len(sources),
+                    p_dev, self.graph.node_mask, 0.0,
+                    rows=len(sources), exclusive=True,
                 )
                 counts = np.bincount(rows, minlength=len(sources))
                 ptr = np.concatenate([[0], np.cumsum(counts)])
@@ -160,7 +160,7 @@ class PreprocessingMixin:
                 scores = self.compute_whole_graph_batch(sources, param)
                 store.write_batch(start, sources, np.asarray(scores))
             report(min(start + batch_size, n) - 1)
-        store.finalize()
+        store.finalize(alpha=self.alpha)
         self._store = store
 
     def attach_store(self, param) -> None:

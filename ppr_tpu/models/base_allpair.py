@@ -115,13 +115,19 @@ class BaseAllPair(PPRAlgorithm):
                 store.write_batch_ordered(shard, np.asarray(sources), ids_list, vals_list)
                 shard += 1024
                 ids_list, vals_list, sources = [], [], []
-        store.finalize(threshold=threshold, k=k)
+        store.finalize(threshold=threshold, k=k, alpha=self.alpha)
         self._store, self._threshold, self._k = store, threshold, k
 
-    def attach_store(self, threshold: float, k: int = -1) -> None:
+    def attach_store(self, threshold: float, k: int = -1, *,
+                     alpha: float | None = None) -> None:
         """Attach a previously persisted all-pair store — a fresh process
         answering queries against an existing preprocessing run (the
-        reference's read-the-files usage, Base_Whole_Graph.java:167-186)."""
+        reference's read-the-files usage, Base_Whole_Graph.java:167-186).
+
+        The store path encodes only (threshold, k); the manifest records
+        the alpha it was computed under, and a mismatch with ``alpha`` (or
+        this instance's alpha) raises rather than silently serving scores
+        from a different damping factor."""
         import os
 
         store = self.make_store(float(threshold), int(k))
@@ -129,6 +135,13 @@ class BaseAllPair(PPRAlgorithm):
             raise FileNotFoundError(
                 f"no finalized BASE store at {store.root}; run "
                 f"preprocessing({threshold}, {k}) first"
+            )
+        want_alpha = self.alpha if alpha is None else float(alpha)
+        stored_alpha = store._read_manifest().get("alpha")
+        if stored_alpha is not None and abs(stored_alpha - want_alpha) > 1e-12:
+            raise ValueError(
+                f"store at {store.root} was preprocessed with "
+                f"alpha={stored_alpha}, not {want_alpha}"
             )
         self._store = store
         self._threshold, self._k = float(threshold), int(k)

@@ -29,17 +29,16 @@ class ForwardPush(PreprocessingMixin, PPRAlgorithm):
     name = "Forward-Push"
     prep_dirname = "FWP_ppr_results"
 
-    _last_residue = None
-    _last_residue_dev = None
+    _last_rsum_dev = None
 
     def compute_whole_graph_batch(self, sources: np.ndarray, param) -> np.ndarray:
-        p = self.compute_whole_graph_device(sources, param)
-        self._last_residue = np.asarray(self._last_residue_dev)
-        return np.asarray(p)
+        return np.asarray(self.compute_whole_graph_device(sources, param))
 
     def compute_whole_graph_device(self, sources: np.ndarray, param):
         """Device-resident reserve (preprocessing compaction consumers skip
-        the dense host copy)."""
+        the dense host copy). Only the per-row residue SUM is retained for
+        :meth:`residue_sum` — keeping the dense residue would pin a
+        [B, n_pad] buffer in HBM across calls."""
         rmax = float(param)
         sources_j = jnp.asarray(sources, jnp.int32)
         p, r, src_onehot = forward_push_init(self.graph, sources_j)
@@ -49,13 +48,10 @@ class ForwardPush(PreprocessingMixin, PPRAlgorithm):
         p, r = apply_dangling_source_shortcircuit(
             self.graph, sources_j, p, r, src_onehot
         )
-        self._last_residue_dev = r
-        self._last_residue = None
+        self._last_rsum_dev = jnp.sum(r, axis=-1)
         return p
 
     def residue_sum(self) -> np.ndarray:
         """Per-row residue mass after the last push (the reference's
         ``getUpdatedRsum``, Forward_Push.java:252-254)."""
-        if self._last_residue is None:
-            return np.asarray(jnp.sum(self._last_residue_dev, axis=-1))
-        return self._last_residue.sum(axis=-1)
+        return np.asarray(self._last_rsum_dev)

@@ -71,17 +71,33 @@ class MonteCarlo(PreprocessingMixin, PPRAlgorithm):
         self.pfail = pfail if pfail is not None else 1.0 / n
         self.max_walk_batch = max_walk_batch
 
+    def _source_chunk(self, param) -> int:
+        """Sources per device call keeping the walker pool within budget."""
+        omega = mc_num_walks(float(param), self.delta, self.pfail)
+        return max(1, self.max_walk_batch // omega)
+
     def compute_whole_graph_batch(self, sources: np.ndarray, param) -> np.ndarray:
-        return np.asarray(self.compute_whole_graph_device(sources, param))
+        # stream chunks through the host so device memory peaks at one
+        # chunk's [chunk, n_pad] output (the chunk loop's whole purpose)
+        sources = np.asarray(sources)
+        per_chunk = self._source_chunk(param)
+        outs = [
+            np.asarray(
+                self.compute_whole_graph_device(sources[lo:lo + per_chunk],
+                                                param)
+            )
+            for lo in range(0, len(sources), per_chunk)
+        ]
+        return outs[0] if len(outs) == 1 else np.concatenate(outs, axis=0)
 
     def compute_whole_graph_device(self, sources: np.ndarray, param):
-        """Device-resident scores (preprocessing compaction consumers skip
-        the dense host copy)."""
+        """Device-resident scores for ONE chunk-sized batch (preprocessing
+        clamps its batch to :meth:`_source_chunk`, so compaction consumers
+        never force multiple chunk outputs to coexist in HBM)."""
         eps = float(param)
         omega = mc_num_walks(eps, self.delta, self.pfail)
         sources = np.asarray(sources)
-        # chunk the source batch so walker count stays within memory budget
-        per_chunk = max(1, self.max_walk_batch // omega)
+        per_chunk = self._source_chunk(param)
         outs = []
         for lo in range(0, len(sources), per_chunk):
             chunk = jnp.asarray(sources[lo:lo + per_chunk], jnp.int32)
@@ -94,3 +110,12 @@ class MonteCarlo(PreprocessingMixin, PPRAlgorithm):
                 )
             )
         return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
+
+    def preprocessing(self, threshold, param, *, batch_size: int = 128,
+                      progress: bool = True) -> None:
+        # clamp so the device path is always single-chunk (memory budget)
+        super().preprocessing(
+            threshold, param,
+            batch_size=min(batch_size, self._source_chunk(param)),
+            progress=progress,
+        )

@@ -30,11 +30,12 @@ def _pow2_at_least(x: int, lo: int = 1024) -> int:
     return c
 
 
-@partial(jax.jit, static_argnums=1)
-def _compact(p, cap, threshold, node_mask, row_mask):
+@partial(jax.jit, static_argnums=(1, 5))
+def _compact(p, cap, threshold, node_mask, row_mask, exclusive):
     """Return (flat_idx i32[cap], val f32[cap]) of kept entries, packed in
     flat order; slots past the true count stay zero."""
-    mask = (p >= threshold) & (node_mask > 0)[None, :] & row_mask[:, None]
+    keep = (p > threshold) if exclusive else (p >= threshold)
+    mask = keep & (node_mask > 0)[None, :] & row_mask[:, None]
     flat_mask = mask.reshape(-1)
     flat_val = p.reshape(-1)
     pos = jnp.cumsum(flat_mask.astype(jnp.int32)) - 1
@@ -47,15 +48,19 @@ def _compact(p, cap, threshold, node_mask, row_mask):
     return out_idx, out_val
 
 
-@jax.jit
-def _count_kept(p, threshold, node_mask, row_mask):
-    mask = (p >= threshold) & (node_mask > 0)[None, :] & row_mask[:, None]
+@partial(jax.jit, static_argnums=4)
+def _count_kept(p, threshold, node_mask, row_mask, exclusive):
+    keep = (p > threshold) if exclusive else (p >= threshold)
+    mask = keep & (node_mask > 0)[None, :] & row_mask[:, None]
     # int32 is safe: threshold_nonzeros rejects t * n_pad >= 2^31
     return jnp.sum(mask, dtype=jnp.int32)
 
 
-def threshold_nonzeros(p, node_mask, threshold, *, rows: int | None = None):
-    """Entries of device array ``p [T, n_pad]`` with value >= threshold.
+def threshold_nonzeros(p, node_mask, threshold, *, rows: int | None = None,
+                       exclusive: bool = False):
+    """Entries of device array ``p [T, n_pad]`` with value >= threshold
+    (``exclusive=True``: strictly > threshold, e.g. ``> 0`` to match the
+    store's keep-positive semantics exactly, subnormals included).
 
     Returns host arrays ``(row i64[count], col i64[count], val f32[count])``
     in row-major order. ``rows`` limits selection to the first rows
@@ -68,7 +73,7 @@ def threshold_nonzeros(p, node_mask, threshold, *, rows: int | None = None):
                          "use a smaller target batch")
     row_mask = jnp.arange(t) < (t if rows is None else int(rows))
     thr = jnp.float32(threshold)
-    count = int(_count_kept(p, thr, node_mask, row_mask))
+    count = int(_count_kept(p, thr, node_mask, row_mask, exclusive))
     if count == 0:
         z = np.zeros(0, np.int64)
         return z, z, np.zeros(0, np.float32)
@@ -79,10 +84,12 @@ def threshold_nonzeros(p, node_mask, threshold, *, rows: int | None = None):
         if rows is not None:
             dense = dense[:rows]
         nm = np.asarray(node_mask) > 0
-        r, c = np.nonzero((dense >= float(threshold)) & nm[None, :])
+        keep = (dense > float(threshold)) if exclusive \
+            else (dense >= float(threshold))
+        r, c = np.nonzero(keep & nm[None, :])
         return r.astype(np.int64), c.astype(np.int64), dense[r, c]
     cap = _pow2_at_least(count)
-    out_idx, out_val = _compact(p, cap, thr, node_mask, row_mask)
+    out_idx, out_val = _compact(p, cap, thr, node_mask, row_mask, exclusive)
     # host-side slice: device slicing by a varying `count` would compile a
     # new program per value; shipping the pow2 cap is at most 2x count
     flat = np.asarray(out_idx, np.int64)[:count]

@@ -56,10 +56,22 @@ class PPRService:
         self.k = k
         conf = AlgoConf(alpha, seed=seed)
         if precomputed is not None:
+            conflicts = [name for name, v in (
+                ("mesh", mesh), ("hub_split", hub_split),
+                ("calibrate", calibrate or None),
+            ) if v is not None] + (
+                ["algorithm"] if algorithm != AlgoType.FORA_TOPK else []
+            )
+            if conflicts:
+                raise ValueError(
+                    f"precomputed= serves pure BASE store reads; "
+                    f"{', '.join(conflicts)} would be silently ignored — "
+                    f"drop them or drop precomputed"
+                )
             thr, pk = (precomputed if isinstance(precomputed, (tuple, list))
                        else (precomputed, -1))
             base = conf.new_algo_obj(AlgoType.BASE_WHOLE_GRAPH, dataset, k)
-            base.attach_store(thr, pk)
+            base.attach_store(thr, pk, alpha=alpha)
             self._topk_algo = self._wg_algo = base
             return
         if mesh is not None and algorithm == AlgoType.FORA_TOPK:

@@ -26,8 +26,11 @@ _MANIFEST = "manifest.json"
 class PPRStore:
     #: shards kept decompressed in memory for the read paths (the
     #: precomputed serving mode reads rows per query; re-inflating the
-    #: npz per read would dominate the file-read query cost)
+    #: npz per read would dominate the file-read query cost). Both caps
+    #: apply: shard count and total resident bytes (big-graph BASE shards
+    #: can hold hundreds of MB each).
     _SHARD_CACHE_CAP = 4
+    _SHARD_CACHE_BYTES = 512 << 20
 
     def __init__(self, root: str, n: int):
         self.root = root
@@ -93,12 +96,12 @@ class PPRStore:
         os.replace(tmp + ".npz", self._shard_path(start))
 
     def read_row_ordered(self, source: int):
-        """(ids, vals) for one source in stored order (views into the
-        shard cache — treat as read-only)."""
+        """(ids, vals) for one source in stored order. Copies, so callers
+        never pin an evicted shard's full arrays via a slice view."""
         z = self._load_shard(source)
         pos = int(np.nonzero(z["sources"] == source)[0][0])
         lo, hi = int(z["indptr"][pos]), int(z["indptr"][pos + 1])
-        return z["ids"][lo:hi], z["vals"][lo:hi]
+        return z["ids"][lo:hi].copy(), z["vals"][lo:hi].copy()
 
     def _load_shard(self, source: int) -> dict[str, np.ndarray]:
         index = self._build_index()
@@ -110,8 +113,18 @@ class PPRStore:
             with np.load(os.path.join(self.root, shard)) as z:
                 cached = {k: z[k] for k in ("sources", "indptr", "ids",
                                             "vals")}
-            if self._SHARD_CACHE_CAP > 0:
-                while len(self._shard_cache) >= self._SHARD_CACHE_CAP:
+            size = sum(a.nbytes for a in cached.values())
+            if self._SHARD_CACHE_CAP > 0 and size <= self._SHARD_CACHE_BYTES:
+                def total():
+                    return sum(
+                        sum(a.nbytes for a in c.values())
+                        for c in self._shard_cache.values()
+                    )
+
+                while self._shard_cache and (
+                    len(self._shard_cache) >= self._SHARD_CACHE_CAP
+                    or total() + size > self._SHARD_CACHE_BYTES
+                ):
                     # evict the oldest insertion (dicts preserve order)
                     self._shard_cache.pop(next(iter(self._shard_cache)))
                 self._shard_cache[shard] = cached

@@ -129,3 +129,28 @@ def test_service_precomputed_store(got, tmp_path, monkeypatch):
 
     with pytest.raises(FileNotFoundError):
         PPRService.from_dataset(got, precomputed=(0.12345, -1))
+
+
+def test_service_precomputed_guards(got, tmp_path, monkeypatch):
+    """precomputed= refuses silently-ignored options and alpha mismatches."""
+    import pytest
+
+    from ppr_tpu.models.base_allpair import BaseAllPair
+    from ppr_tpu.parallel.sharded import make_mesh
+    from ppr_tpu.service import PPRService
+
+    monkeypatch.chdir(tmp_path)
+    BaseAllPair(got, 0.15, target_batch=128).preprocessing(
+        1e-3, -1, progress=False)
+
+    with pytest.raises(ValueError, match="hub_split"):
+        PPRService.from_dataset(got, precomputed=(1e-3, -1), hub_split=16)
+    with pytest.raises(ValueError, match="mesh"):
+        PPRService.from_dataset(got, precomputed=(1e-3, -1),
+                                mesh=make_mesh(8))
+    # a store preprocessed under alpha=0.15 must not serve alpha=0.3
+    with pytest.raises(ValueError, match="alpha"):
+        PPRService.from_dataset(got, alpha=0.3, precomputed=(1e-3, -1))
+    # matching alpha still works
+    svc = PPRService.from_dataset(got, alpha=0.15, precomputed=(1e-3, -1))
+    assert svc.top_k([3], k=10)
