@@ -257,7 +257,15 @@ def serve_loop(service, in_stream, out_stream, **server_kwargs) -> ServerStats:
 def main(argv=None) -> int:
     """``python -m ppr_tpu.serving --db <dataset>`` — stdio PPR daemon."""
     import argparse
+    import os
     import sys
+
+    if os.environ.get("PPR_TPU_FORCE_CPU"):
+        # subprocess CPU opt-in (tests / local smoke of daemon clients);
+        # env vars alone cannot override the pinned axon platform
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     from .cli import load_dataset
     from .service import PPRService

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import random
 import sys
 import time
@@ -84,6 +85,116 @@ def run_rate(server, sources, rate_qps: float, duration_s: float,
     }
 
 
+def run_daemon_mode(args) -> int:
+    """Drive the stdio JSON-lines daemon as a SUBPROCESS: arrival times are
+    Poisson like the in-process mode, latency is measured request-write to
+    response-read per request id — the full production wire path (pipe +
+    JSON + scheduler + device)."""
+    import subprocess
+    import threading
+
+    cmd = [sys.executable, "-m", "ppr_tpu.serving", "--db", args.db,
+           "--alpha", str(args.alpha), "--eps", str(args.eps),
+           "--k", str(args.k), "--max-batch", str(args.max_batch)]
+    if args.hub_split:
+        cmd += ["--hub-split", str(args.hub_split)]
+    env = dict(os.environ)
+    if args.cpu:
+        # the daemon subprocess must opt into CPU the same way we did
+        env["PPR_TPU_FORCE_CPU"] = "1"
+    proc = subprocess.Popen(cmd, stdin=subprocess.PIPE,
+                            stdout=subprocess.PIPE,
+                            stderr=subprocess.PIPE, text=True, env=env,
+                            bufsize=1)
+    ready = None
+    for _ in range(64):  # skip warnings/log lines before the ready JSON
+        line = proc.stderr.readline()
+        if not line:
+            raise RuntimeError("daemon exited before signalling ready")
+        try:
+            obj = json.loads(line)
+        except json.JSONDecodeError:
+            continue
+        if obj.get("ready"):
+            ready = obj
+            break
+    assert ready is not None, "no ready line from daemon"
+    n = int(ready["n"])
+    print(f"daemon ready: {ready}", flush=True)
+    rng = random.Random(args.seed)
+    sources = [rng.randrange(n) for _ in range(args.queries)]
+
+    t_sent: dict[str, float] = {}
+    lat_ms: list[float] = []
+    done = threading.Event()
+
+    def reader():
+        for line in proc.stdout:
+            resp = json.loads(line)
+            t0 = t_sent.pop(str(resp.get("id")), None)
+            if t0 is not None:
+                lat_ms.append((time.perf_counter() - t0) * 1e3)
+            if not t_sent and done.is_set():
+                return
+
+    th = threading.Thread(target=reader, daemon=True)
+    th.start()
+
+    def send(i, source):
+        rid = str(i)
+        t_sent[rid] = time.perf_counter()
+        proc.stdin.write(json.dumps({"source": source, "id": rid})
+                         + "\n")
+        proc.stdin.flush()
+
+    # warmup: one full batch, then measure at each rate
+    for i in range(args.max_batch):
+        send(f"w{i}", sources[i % len(sources)])
+    while t_sent:
+        time.sleep(0.1)
+    lat_ms.clear()
+
+    rows = []
+    for spec in args.rates.split(","):
+        rate = float(spec)
+        if rate <= 1.5:
+            raise SystemExit("--daemon mode takes absolute qps rates")
+        n0 = len(lat_ms)
+        t_end = time.perf_counter() + args.duration_s
+        next_t = time.perf_counter()
+        i = 0
+        while time.perf_counter() < t_end:
+            now = time.perf_counter()
+            if now < next_t:
+                time.sleep(min(next_t - now, 0.05))
+                continue
+            send(i, sources[i % len(sources)])
+            i += 1
+            next_t += rng.expovariate(rate)
+        while t_sent:
+            time.sleep(0.05)
+        lat = sorted(lat_ms[n0:])
+
+        def pct(q):
+            return round(
+                lat[min(len(lat) - 1,
+                        max(0, int(round(q / 100 * len(lat))) - 1))], 3
+            ) if lat else None
+
+        row = {"offered_qps": rate, "requests": i, "p50_ms": pct(50),
+               "p95_ms": pct(95), "p99_ms": pct(99)}
+        rows.append(row)
+        print(json.dumps(row), flush=True)
+    done.set()
+    proc.stdin.close()
+    proc.wait(timeout=60)
+    Path(args.out).parent.mkdir(parents=True, exist_ok=True)
+    Path(args.out).write_text(json.dumps(
+        {"mode": "daemon", "rows": rows}, indent=1) + "\n")
+    print(f"wrote {args.out}")
+    return 0
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     ap.add_argument("--db", default="synth:1048576x16")
@@ -101,8 +212,14 @@ def main(argv=None) -> int:
     ap.add_argument("--hub-split", type=int, default=None)
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (smoke/local testing)")
+    ap.add_argument("--daemon", action="store_true",
+                    help="drive the stdio daemon as a subprocess (full "
+                         "wire path); --rates must be absolute qps")
     ap.add_argument("--out", default="results/serving_latency.json")
     args = ap.parse_args(argv)
+
+    if args.daemon:
+        return run_daemon_mode(args)
 
     if args.cpu:
         import jax
