@@ -28,6 +28,20 @@ Under load the batch size self-regulates toward throughput saturation
 query immediately — no artificial latency floor. ``max_delay_ms`` adds an
 optional accumulation window for latency-tolerant, bursty clients;
 ``max_batch`` caps a dispatch at the knee (excess stays queued).
+
+``slo_ms`` replaces the static cap with a latency-targeted one: a
+request's worst-case submit-to-result latency is about two dispatch
+service times (wait for the in-flight batch, then ride the next), so the
+scheduler walks the pow2 bucket ladder multiplicatively — halving the cap
+when ``2 * t(width) > slo_ms``, doubling it (under backlog) only when the
+measured service time proves the next rung still fits. Multiplicative
+moves keep the number of distinct compiled widths O(log max_batch); on
+this backend every new width is a remote XLA compile costing seconds
+(CLAUDE.md), so a continuous-valued cap would stall the server. The first
+dispatch at a new width pays that compile; its service-time sample is
+taken on a second, warm dispatch (the EWMA skips cold-compile outliers by
+construction: compile times exceed the SLO and would otherwise wrongly
+shrink the cap, so the update ignores a width's first-ever sample).
 """
 
 from __future__ import annotations
@@ -48,6 +62,8 @@ class ServerStats:
     padded_rows: int = 0
     batch_sizes: list = field(default_factory=list)
     latencies_ms: list = field(default_factory=list)
+    #: (dispatch ordinal, new cap) every time the SLO policy moves the cap
+    cap_moves: list = field(default_factory=list)
     #: cap on retained per-request samples; a long-running daemon would
     #: otherwise grow without bound (~49M floats/day at the measured qps)
     max_latency_samples: int = 1_000_000
@@ -90,11 +106,21 @@ class PPRBatchServer:
     """
 
     def __init__(self, service, *, max_batch: int = 1024,
-                 max_delay_ms: float = 0.0, bucket: bool = True):
+                 max_delay_ms: float = 0.0, bucket: bool = True,
+                 slo_ms: float | None = None, min_batch: int = 8):
         self._svc = service
         self.max_batch = int(max_batch)
         self.max_delay_s = float(max_delay_ms) / 1e3
         self.bucket = bucket
+        self.slo_ms = float(slo_ms) if slo_ms else None
+        self.min_batch = int(min_batch)
+        # SLO policy state: current cap on the pow2 ladder, one warm
+        # service-time EWMA per dispatched width (cold first samples at a
+        # width are compile-dominated on TPU and are skipped — see module
+        # docstring), and the set of widths already seen once.
+        self._slo_cap = _pow2_bucket(self.min_batch)
+        self._svc_time_ms: dict[int, float] = {}
+        self._seen_width: set[int] = set()
         self.stats = ServerStats()
         self._lock = threading.Condition()
         self._queue: list[
@@ -138,6 +164,12 @@ class PPRBatchServer:
         self.close()
 
     # ----------------------------------------------------------- dispatcher
+    def _cap(self) -> int:
+        """Current dispatch cap: the static knob, or the SLO policy's rung."""
+        if self.slo_ms is None:
+            return self.max_batch
+        return min(self.max_batch, self._slo_cap)
+
     def _take_batch(self):
         """Block until work (or close); return one (k, eps) -> requests dict."""
         with self._lock:
@@ -145,30 +177,63 @@ class PPRBatchServer:
                 self._lock.wait()
             if not self._queue:
                 return None
-            if self.max_delay_s > 0 and len(self._queue) < self.max_batch:
+            cap = self._cap()
+            if self.max_delay_s > 0 and len(self._queue) < cap:
                 # optional accumulation window for bursty clients
                 self._lock.wait(timeout=self.max_delay_s)
             groups: dict[tuple, list] = defaultdict(list)
             rest = []
             for item in self._queue:
                 key = (item[1], item[2])
-                if len(groups[key]) < self.max_batch:
+                if len(groups[key]) < cap:
                     groups[key].append(item)
                 else:
                     rest.append(item)
             self._queue = rest
-            return groups
+            return groups, len(rest)
+
+    def _slo_update(self, width: int, service_ms: float, backlog: bool):
+        """Move the cap after a timed dispatch (SLO mode only).
+
+        Worst-case request latency ~= 2 * t(width): wait out the in-flight
+        dispatch, then ride the next. Shrink when that breaches the SLO;
+        grow one rung under backlog when the *predicted* time at the next
+        rung still fits (service time is affine in width with a positive
+        intercept, so t(2w) <= 2*t(w) — doubling is safe iff 4*t(w) <= slo,
+        or iff the next rung's own warm EWMA already fits).
+        """
+        first = width not in self._seen_width
+        self._seen_width.add(width)
+        if first:
+            return  # cold sample: remote-compile-dominated, not service time
+        prev = self._svc_time_ms.get(width, service_ms)
+        t = 0.5 * prev + 0.5 * service_ms
+        self._svc_time_ms[width] = t
+        cap = self._slo_cap
+        lo = _pow2_bucket(self.min_batch)
+        if 2.0 * t > self.slo_ms and cap > lo:
+            self._slo_cap = max(lo, cap // 2)
+        elif backlog and cap < self.max_batch:
+            up = self._svc_time_ms.get(cap * 2)
+            fits = (2.0 * up <= self.slo_ms) if up is not None \
+                else (4.0 * t <= self.slo_ms)
+            if fits:
+                self._slo_cap = cap * 2
+        if self._slo_cap != cap:
+            self.stats.cap_moves.append((self.stats.dispatches, self._slo_cap))
 
     def _dispatch_loop(self):
         while True:
-            groups = self._take_batch()
-            if groups is None:
+            taken = self._take_batch()
+            if taken is None:
                 return
+            groups, n_rest = taken
             for (k, eps), items in groups.items():
                 sources = [s for s, _, _, _, _ in items]
                 futs = [f for _, _, _, f, _ in items]
                 submits = [t for _, _, _, _, t in items]
                 b = len(sources)
+                width = b
                 if self.bucket:
                     width = min(_pow2_bucket(b), max(self.max_batch, 8))
                     self.stats.padded_rows += width - b
@@ -176,6 +241,7 @@ class PPRBatchServer:
                 self.stats.dispatches += 1
                 self.stats.dispatched_rows += b
                 self.stats.batch_sizes.append(b)
+                t0 = time.perf_counter()
                 try:
                     rows = self._svc.top_k(sources, k=k, eps=eps)
                 except Exception as e:  # noqa: BLE001 - fan the error out
@@ -183,6 +249,10 @@ class PPRBatchServer:
                         f.set_exception(e)
                     continue
                 done = time.perf_counter()
+                if self.slo_ms is not None:
+                    with self._lock:
+                        backlog = n_rest > 0 or bool(self._queue)
+                    self._slo_update(width, (done - t0) * 1e3, backlog)
                 lat = self.stats.latencies_ms
                 lat.extend((done - t) * 1e3 for t in submits)
                 if len(lat) > self.stats.max_latency_samples:
@@ -236,6 +306,8 @@ def serve_loop(service, in_stream, out_stream, **server_kwargs) -> ServerStats:
                         "mean_batch": server.stats.mean_batch,
                         "padded_rows": server.stats.padded_rows,
                         "latency_ms": server.stats.latency_percentiles(),
+                        "dispatch_cap": server._cap(),
+                        "cap_moves": server.stats.cap_moves[-16:],
                     }})
                     continue
                 fut = server.submit(
@@ -282,6 +354,11 @@ def main(argv=None) -> int:
                     help="dense-hub hybrid SpMV hub count")
     ap.add_argument("--max-batch", type=int, default=1024)
     ap.add_argument("--max-delay-ms", type=float, default=0.0)
+    ap.add_argument("--slo-ms", type=float, default=None,
+                    help="target worst-case request latency; replaces the "
+                         "static --max-batch cap with an adaptive one "
+                         "(grows under backlog while latency fits, shrinks "
+                         "on breach)")
     ap.add_argument("--mesh", default=None, metavar="DATAxGRAPH",
                     help="serve from the sharded engine on a DATAxGRAPH "
                          "device mesh (e.g. 4x2)")
@@ -310,7 +387,8 @@ def main(argv=None) -> int:
           file=sys.stderr, flush=True)
     stats = serve_loop(svc, sys.stdin, sys.stdout,
                        max_batch=args.max_batch,
-                       max_delay_ms=args.max_delay_ms)
+                       max_delay_ms=args.max_delay_ms,
+                       slo_ms=args.slo_ms)
     print(json.dumps({"served": stats.requests,
                       "dispatches": stats.dispatches,
                       "mean_batch": round(stats.mean_batch, 2)}),

@@ -179,3 +179,95 @@ def test_latency_percentiles_empty():
     assert ServerStats().latency_percentiles() == {
         "p50": None, "p95": None, "p99": None
     }
+
+
+# ----------------------------------------------------------- SLO policy
+class TimedFakeService:
+    """Deterministic service-time model: t(width) = base + per_row * width.
+
+    Affine-in-width matches the measured device profile (PERF.md: fixed
+    dispatch overhead + per-row cost past the knee); lets the SLO policy be
+    pinned on CPU without a device.
+    """
+
+    def __init__(self, base_ms=1.0, per_row_ms=1.0):
+        self.base_s = base_ms / 1e3
+        self.per_row_s = per_row_ms / 1e3
+        self.widths = []
+
+    def top_k(self, sources, k=None, eps=None):
+        import time as _t
+
+        self.widths.append(len(sources))
+        _t.sleep(self.base_s + self.per_row_s * len(sources))
+        return [[(s, 1.0, str(s))] for s in sources]
+
+
+def _flood(server, n, spacing_s=0.0):
+    futs = [server.submit(i % 97) for i in range(n)]
+    for f in futs:
+        f.result(timeout=120)
+    return futs
+
+
+def test_slo_cap_shrinks_on_breach():
+    """Service too slow for the SLO at the starting rung => the cap walks
+    down to min_batch and stays there (multiplicative decrease)."""
+    svc = TimedFakeService(base_ms=5.0, per_row_ms=5.0)  # t(8) = 45ms
+    with PPRBatchServer(svc, max_batch=256, slo_ms=20.0, min_batch=8,
+                        bucket=True) as server:
+        _flood(server, 200)
+        cap = server._cap()
+    assert cap == 8  # floor: 2*t(8) = 90ms > 20ms but can't shrink below lo
+    # the policy never grew despite constant backlog
+    assert all(c <= 8 for _, c in server.stats.cap_moves)
+
+
+def test_slo_cap_grows_under_backlog_within_slo():
+    """Fast service + standing backlog => the cap climbs the pow2 ladder,
+    and dispatch widths actually follow it (throughput recovers)."""
+    svc = TimedFakeService(base_ms=1.0, per_row_ms=0.01)  # t(256) ~= 3.6ms
+    with PPRBatchServer(svc, max_batch=256, slo_ms=100.0, min_batch=8,
+                        bucket=True) as server:
+        _flood(server, 3000)
+        cap = server._cap()
+    assert cap == 256  # grew to the static max
+    assert max(svc.widths) == 256
+    # growth was rung-by-rung: no move jumps more than 2x
+    caps = [8] + [c for _, c in server.stats.cap_moves]
+    assert all(b in (a * 2, a // 2) for a, b in zip(caps, caps[1:]))
+
+
+def test_slo_cold_sample_ignored():
+    """A width's first-ever dispatch (remote-compile-dominated on TPU) must
+    not move the cap; the warm second sample governs."""
+    from ppr_tpu.serving import PPRBatchServer as S
+
+    svc = TimedFakeService(base_ms=1.0, per_row_ms=0.01)
+    server = S.__new__(S)  # policy unit test: no threads
+    server.slo_ms = 50.0
+    server.max_batch = 256
+    server.min_batch = 8
+    server._slo_cap = 8
+    server._svc_time_ms = {}
+    server._seen_width = set()
+    from ppr_tpu.serving import ServerStats
+
+    server.stats = ServerStats()
+    server._slo_update(8, 30_000.0, backlog=True)  # cold compile: 30s
+    assert server._slo_cap == 8 and not server._svc_time_ms
+    server._slo_update(8, 2.0, backlog=True)  # warm: 4*2ms <= 50ms -> grow
+    assert server._slo_cap == 16
+    server._slo_update(16, 40.0, backlog=True)  # cold at 16: ignored
+    assert server._slo_cap == 16
+    server._slo_update(16, 40.0, backlog=True)  # warm: 2*40 > 50 -> shrink
+    assert server._slo_cap == 8
+
+
+def test_slo_off_uses_static_cap():
+    svc = TimedFakeService(base_ms=0.1, per_row_ms=0.01)
+    with PPRBatchServer(svc, max_batch=16) as server:
+        assert server._cap() == 16
+        _flood(server, 40)
+    assert max(svc.widths) <= 16
+    assert server.stats.cap_moves == []
