@@ -98,6 +98,8 @@ def run_daemon_mode(args) -> int:
            "--k", str(args.k), "--max-batch", str(args.max_batch)]
     if args.hub_split:
         cmd += ["--hub-split", str(args.hub_split)]
+    if args.slo_ms:
+        cmd += ["--slo-ms", str(args.slo_ms)]
     env = dict(os.environ)
     if args.cpu:
         # the daemon subprocess must opt into CPU the same way we did
@@ -210,6 +212,9 @@ def main(argv=None) -> int:
                     help="distinct query sources cycled through")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--hub-split", type=int, default=None)
+    ap.add_argument("--slo-ms", type=float, default=None,
+                    help="run the server's latency-targeted adaptive "
+                         "dispatch cap instead of the static --max-batch")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (smoke/local testing)")
     ap.add_argument("--daemon", action="store_true",
@@ -238,10 +243,14 @@ def main(argv=None) -> int:
     sources = [rng.randrange(ds.graph.n) for _ in range(args.queries)]
 
     rows = []
-    with PPRBatchServer(svc, max_batch=args.max_batch) as server:
+    with PPRBatchServer(svc, max_batch=args.max_batch,
+                        slo_ms=args.slo_ms) as server:
         # Prewarm every pow2 bucket the load can produce, so remote-XLA
         # compile latency (minutes per new shape on this backend) never
-        # lands inside a timed window.
+        # lands inside a timed window. (In SLO mode the policy itself
+        # absorbs cold compiles — it ignores each width's first sample —
+        # but prewarming still keeps them out of the measured percentiles,
+        # so warm every rung the cap could climb to either way.)
         b = 8
         while b <= args.max_batch:
             t0 = time.perf_counter()
@@ -273,6 +282,10 @@ def main(argv=None) -> int:
         "duration_s": args.duration_s,
         "rows": rows,
     }
+    if args.slo_ms:
+        out["slo_ms"] = args.slo_ms
+        out["final_dispatch_cap"] = server._cap()
+        out["cap_moves"] = server.stats.cap_moves
     Path(args.out).parent.mkdir(parents=True, exist_ok=True)
     Path(args.out).write_text(json.dumps(out, indent=1) + "\n")
     print(f"wrote {args.out}")
