@@ -96,6 +96,12 @@ def load_dataset(db: str):
         n, deg = (int(x) for x in spec.split("x"))
         return io.synthetic_powerlaw(n, deg, seed=seed)
     if os.path.isdir(db):
+        from .graph.neostore import is_neo4j_store, load_neo4j_store
+
+        if is_neo4j_store(db):
+            # the reference's own entry path: an embedded-Neo4j store dir
+            # (PPR.java:52-60 on target/got.db), read without a JVM
+            return load_neo4j_store(db)
         for f in os.listdir(db):
             if f.endswith("_Nodes.csv"):
                 prefix = f[: -len("_Nodes.csv")]
@@ -104,7 +110,7 @@ def load_dataset(db: str):
                     os.path.join(db, f"{prefix}_Rels.csv"),
                     name=prefix.lower(),
                 )
-        raise SystemExit(f"no *_Nodes.csv found in {db}")
+        raise SystemExit(f"no *_Nodes.csv or neostore in {db}")
     if os.path.isfile(db):
         return io.load_edge_list(db)
     raise SystemExit(f"dataset not found: {db}")
