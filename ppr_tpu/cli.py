@@ -54,6 +54,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--fora-completion", default="auto",
                    choices=["auto", "walks", "spmv"],
                    help="FORA residual completion strategy (auto = cost model)")
+    p.add_argument("--algos", default=None,
+                   help="comma subset of algorithm names (AlgoType values, "
+                        "e.g. MC,NEO4J_METHOD) to run within each selected "
+                        "test — resume a budget-cut sweep without repaying "
+                        "its completed sections")
     p.add_argument("--tests", default="1,2,3",
                    help="comma subset of the three protocol tests to run "
                         "(1=whole-graph, 2=top-k, 3=preprocessing)")
@@ -152,6 +157,7 @@ def main(argv=None) -> int:
                 args.query, args.k, sweep=args.sweep,
                 tests=tuple(int(t) for t in args.tests.split(",")),
                 budget_s=args.budget_s,
+                algos=(set(args.algos.split(",")) if args.algos else None),
             )
     except Exception as e:  # PPR.java:196-199 prints and exits
         print(f"Algo performance batch test failed! ({e})")

@@ -327,7 +327,8 @@ class PerfHarness:
     def algo_perf_batch_test(self, query_num: int = 50, k: int = 10,
                              sweep: str | None = None,
                              tests: tuple = (1, 2, 3),
-                             budget_s: float | None = None
+                             budget_s: float | None = None,
+                             algos: set | None = None,
                              ) -> list[PerfResult]:
         """Run the three protocol tests. ``tests`` selects a subset;
         ``budget_s`` caps wall time per (algorithm, test) section — once a
@@ -336,10 +337,16 @@ class PerfHarness:
         reference verbatim and are cheap-to-expensive in all but one case
         (amazon's prep FWDPUSH leads with its tightest rmax,
         Gen_Util.java:444), so truncation usually drops only the expensive
-        tail — and never silently either way."""
+        tail — and never silently either way. ``algos`` (a set of
+        AlgoType-value strings) restricts each test to those algorithms,
+        keeping the reference's section numbering — for resuming a
+        budget-cut sweep without repaying its completed sections."""
         spec = SWEEPS.get(sweep or self.dataset.name) or SWEEPS["got"]
         self.writer.header()
         results = []
+
+        def selected(algo) -> bool:
+            return algos is None or algo.value in algos
 
         def run_section(algo, params, runner):
             t0 = time.perf_counter()
@@ -358,6 +365,8 @@ class PerfHarness:
             self.writer.section("Test 1. Whole-Graph test")
             for i, (algo, params) in enumerate(
                     spec["whole_graph"].items(), 1):
+                if not selected(algo):
+                    continue
                 self.writer.section(f"1.{i} {algo.value}")
                 run_section(algo, params, lambda p, a=algo: (
                     self.algo_perf_test(a, query_num, -1, -1, p, False,
@@ -370,6 +379,8 @@ class PerfHarness:
         if 2 in tests:
             self.writer.section("Test 2. Top-k test")
             for i, (algo, params) in enumerate(spec["topk"].items(), 1):
+                if not selected(algo):
+                    continue
                 self.writer.section(f"2.{i} {algo.value}")
                 run_section(algo, params, lambda p, a=algo: (
                     self.algo_perf_test(a, query_num, k, -1, p, False,
@@ -392,6 +403,8 @@ class PerfHarness:
                 return results
             self.writer.section("Test 3. Preprocessing test")
             for i, (algo, params) in enumerate(prep_spec.items(), 1):
+                if not selected(algo):
+                    continue
                 self.writer.section(f"3.{i} {algo.value}")
                 run_section(algo, params, lambda p, a=algo: (
                     self.algo_perf_test(a, query_num, -1, -1, p, True,

@@ -108,3 +108,21 @@ def test_preprocessing_device_path_matches_host_select(got, tmp_path,
         keep = want > 0.0
         np.testing.assert_allclose(row[keep], want[keep])
         assert (row[~keep] == 0).all()
+
+
+def test_batch_test_algos_filter(tmp_path, monkeypatch):
+    """--algos restricts each test to the named algorithms but keeps the
+    reference's section numbering (resume a budget-cut sweep without
+    repaying completed sections)."""
+    monkeypatch.chdir(tmp_path)
+    from ppr_tpu.cli import load_dataset
+
+    ds = load_dataset("synth:200x4@3")
+    h = PerfHarness(ds, seed=0, out_dir=str(tmp_path), progress=False)
+    h.algo_perf_batch_test(query_num=2, k=5, sweep="got", tests=(2,),
+                           budget_s=1.0, algos={"MC"})
+    report = (tmp_path / f"{ds.name}_AlgoPerfResults.txt").read_text()
+    # MC is 2.3 in the got topk spec — numbering preserved, others absent
+    assert "2.3 MC" in report
+    assert "FORA_TOPK" not in report
+    assert "NEO4J_METHOD" not in report
