@@ -85,7 +85,10 @@ NAMED_SYNTH = {
 }
 
 
-def load_dataset(db: str):
+def load_dataset(db: str, rel: str | None = None):
+    """``rel`` filters a binary-store load to that relationship type (the
+    reference's --rel flag, PPR.java:126); CSV/SNAP/synthetic sources are
+    single-type by construction and ignore it."""
     from .graph import io
 
     if db.startswith("synth:"):
@@ -106,7 +109,7 @@ def load_dataset(db: str):
         if is_neo4j_store(db):
             # the reference's own entry path: an embedded-Neo4j store dir
             # (PPR.java:52-60 on target/got.db), read without a JVM
-            return load_neo4j_store(db)
+            return load_neo4j_store(db, rel_type=rel)
         for f in os.listdir(db):
             if f.endswith("_Nodes.csv"):
                 prefix = f[: -len("_Nodes.csv")]
@@ -125,7 +128,7 @@ def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     from .harness import PerfHarness
 
-    dataset = load_dataset(args.db)
+    dataset = load_dataset(args.db, rel=args.rel)
     print(f"Loaded dataset '{dataset.name}': {dataset.graph.n} nodes, "
           f"{dataset.graph.m} edges")
     harness = PerfHarness(

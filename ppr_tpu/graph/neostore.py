@@ -96,24 +96,57 @@ def read_relationships(db_dir: str) -> tuple[np.ndarray, np.ndarray, np.ndarray]
     return first[in_use], second[in_use], rtype[in_use]
 
 
+def _read_tokens(idx_path: str, names_path: str, record_size: int,
+                 name_id_off: int) -> dict[int, str]:
+    idx = _records(idx_path, record_size)
+    names = _records(names_path, KEY_NAME_RECORD)
+    out: dict[int, str] = {}
+    for tid in np.nonzero((idx[:, 0] & 1).astype(bool))[0]:
+        name_id = int(_be32(idx[tid : tid + 1], name_id_off)[0])
+        out[int(tid)] = _read_dynamic(names, name_id).decode("utf-8")
+    return out
+
+
 def read_property_key_tokens(db_dir: str) -> dict[int, str]:
     """Property-key token id -> key name (e.g. {0: "name"}).
 
     Token records (9B): ``[inUse][propCount 4B][nameId 4B]``; names live in
     the ``.keys`` dynamic store (38B records: 8B header + 30B data).
     """
-    idx = _records(
-        os.path.join(db_dir, "neostore.propertystore.db.index"), 9
-    )
-    keys = _records(
+    return _read_tokens(
+        os.path.join(db_dir, "neostore.propertystore.db.index"),
         os.path.join(db_dir, "neostore.propertystore.db.index.keys"),
-        KEY_NAME_RECORD,
+        9, 5,
     )
-    out: dict[int, str] = {}
-    for tid in np.nonzero((idx[:, 0] & 1).astype(bool))[0]:
-        name_id = int(_be32(idx[tid : tid + 1], 5)[0])
-        out[int(tid)] = _read_dynamic(keys, name_id).decode("utf-8")
-    return out
+
+
+def read_relationship_type_tokens(db_dir: str) -> dict[int, str]:
+    """Relationship-type token id -> name (e.g. {0: "Relation"}).
+
+    Token records (5B): ``[inUse][nameId 4B]``. Backs the reference's
+    ``--rel`` flag (PPR.java:126, relationship type filter).
+    """
+    return _read_tokens(
+        os.path.join(db_dir, "neostore.relationshiptypestore.db"),
+        os.path.join(db_dir, "neostore.relationshiptypestore.db.names"),
+        5, 1,
+    )
+
+
+def read_label_tokens(db_dir: str) -> dict[int, str]:
+    """Label token id -> name. Same 5B token record as relationship types.
+
+    Note: got.db carries the "Person" label *token* (created by the
+    reference's schema/index setup, PPR.java:70-119) but its import CSVs
+    have no ``:LABEL`` column, so the node records themselves are
+    unlabeled and the ``--label Person`` flag is vacuous there; the
+    tokens are exposed for stores that do label their nodes.
+    """
+    return _read_tokens(
+        os.path.join(db_dir, "neostore.labeltokenstore.db"),
+        os.path.join(db_dir, "neostore.labeltokenstore.db.names"),
+        5, 1,
+    )
 
 
 def _read_dynamic(rec: np.ndarray, start_id: int) -> bytes:
@@ -336,6 +369,7 @@ def load_neo4j_store(
     *,
     name: str | None = None,
     name_property: str = "name",
+    rel_type: str | None = None,
     dense_threshold: int = 4096,
 ):
     """Load a Neo4j 3.5 store directory as a :class:`~..graph.io.Dataset`.
@@ -343,16 +377,27 @@ def load_neo4j_store(
     The dense 0..n-1 id mapping follows ascending internal node id — the
     same order the reference's HeavyGraphFactory assigns mapped ids
     (PPR.java:141-147), which for an imported store is input order, so the
-    result is graph-identical to loading the import CSVs. Label and
-    relationship-type filters are not applied (the reference datasets are
-    single-label / single-type; PPR.java:124-127 reads them from flags but
-    GOT only ever has Person/Relation).
+    result is graph-identical to loading the import CSVs. ``rel_type``
+    keeps only relationships of that type (the ``--rel`` flag,
+    PPR.java:126); label filtering is not applied — the reference's own
+    import CSVs carry no ``:LABEL`` column, so got.db's nodes are
+    unlabeled and PPR.java:124's ``--label Person`` is vacuous there.
     """
     from .csr import build_graph
     from .io import Dataset
 
     node_ids, first_prop = read_nodes(db_dir)
-    src_raw, dst_raw, _rtype = read_relationships(db_dir)
+    src_raw, dst_raw, rtype = read_relationships(db_dir)
+    if rel_type is not None:
+        tokens = read_relationship_type_tokens(db_dir)
+        wanted = {tid for tid, nm in tokens.items() if nm == rel_type}
+        if not wanted:
+            raise ValueError(
+                f"{db_dir}: no relationship type {rel_type!r}; "
+                f"store has {sorted(tokens.values())}"
+            )
+        keep = np.isin(rtype, list(wanted))
+        src_raw, dst_raw = src_raw[keep], dst_raw[keep]
 
     lookup = np.full(int(node_ids.max()) + 2 if node_ids.size else 1, -1,
                      np.int64)

@@ -129,3 +129,29 @@ def test_short_string_encodings_unit():
     assert _decode_short_string(
         make_blocks(7, 6, [0x01, 0x21, 0x3B, 0x1B, 0x00])
     ) == "Aa50 "
+
+
+def test_relationship_type_tokens_and_filter():
+    from ppr_tpu.graph.neostore import (
+        load_neo4j_store, read_relationship_type_tokens, read_label_tokens,
+    )
+
+    tokens = read_relationship_type_tokens(GOT_DB)
+    assert tokens.get(0) == "Relation"
+    ds = load_neo4j_store(GOT_DB, rel_type="Relation")
+    assert ds.graph.m == 352  # single-type store: filter keeps everything
+    with pytest.raises(ValueError, match="no relationship type"):
+        load_neo4j_store(GOT_DB, rel_type="KNOWS")
+    # the Person label TOKEN exists (created by the reference's schema/
+    # index setup, PPR.java:70-119) but the import CSV had no :LABEL
+    # column, so node records themselves are unlabeled
+    assert read_label_tokens(GOT_DB) == {0: "Person"}
+
+
+def test_cli_rel_flag_reaches_store_loader():
+    from ppr_tpu.cli import load_dataset
+
+    ds = load_dataset(GOT_DB, rel="Relation")
+    assert ds.graph.m == 352
+    with pytest.raises(ValueError):
+        load_dataset(GOT_DB, rel="NOPE")
