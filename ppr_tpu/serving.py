@@ -204,8 +204,11 @@ class PPRBatchServer:
         """
         first = width not in self._seen_width
         self._seen_width.add(width)
-        if first:
-            return  # cold sample: remote-compile-dominated, not service time
+        if first and self.bucket:
+            # cold sample: remote-compile-dominated, not service time.
+            # (Unbucketed servers recompile constantly anyway — there the
+            # skip would ignore nearly every sample, so don't.)
+            return
         prev = self._svc_time_ms.get(width, service_ms)
         t = 0.5 * prev + 0.5 * service_ms
         self._svc_time_ms[width] = t
