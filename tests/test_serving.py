@@ -248,6 +248,7 @@ def test_slo_cold_sample_ignored():
     server.slo_ms = 50.0
     server.max_batch = 256
     server.min_batch = 8
+    server.bucket = True
     server._slo_cap = 8
     server._svc_time_ms = {}
     server._seen_width = set()
