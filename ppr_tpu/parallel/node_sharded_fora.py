@@ -44,7 +44,12 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..graph.csr import Graph
-from .node_sharded import partition_edges_by_dst_src
+from ..ops.walk import default_max_steps, expand_walkers
+from .node_sharded import (
+    make_node_sharded_propagate_ring,
+    partition_csr_by_node,
+    partition_edges_by_dst_src,
+)
 from .sharded import make_mesh
 
 
@@ -338,3 +343,338 @@ class NodeShardedForaTopk:
         """The per-device reserve shard shape — O(B/data, n/S) by design;
         tests assert it against the addressable shards of a live result."""
         return (max(8, batch) // self._mesh_shape["data"], self.n_local)
+
+
+# --------------------------------------------------------------------------
+# Walks-mode completion: FORA whole-graph over the node-sharded partition
+# --------------------------------------------------------------------------
+
+def make_node_sharded_walk_totals(mesh: Mesh, g: Graph, alpha: float):
+    """Per-device walker-count program: ``fn(r_local, omega) -> int32[D, S]``
+    of each device's ``sum(ceil((1-alpha) * r * omega))`` — the host reads
+    the max to size the static walker pool (pow2-bucketed, so recompiles
+    stay bounded)."""
+    alpha_f = jnp.float32(alpha)
+
+    def local(r_l, omega):
+        r1 = (1.0 - alpha_f) * r_l
+        om = jnp.where(r1 > 0, jnp.ceil(r1 * omega), 0.0).astype(jnp.int32)
+        return jnp.sum(om).reshape(1, 1)
+
+    mapped = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P("data", "graph"), P()),
+        out_specs=P("data", "graph"),
+        check_vma=False,
+    )
+    return jax.jit(mapped)
+
+
+def make_node_sharded_walk_completion(
+    mesh: Mesh,
+    g: Graph,
+    alpha: float,
+    cap: int,
+    *,
+    max_steps: int | None = None,
+):
+    """Fused walks-mode residual completion over the node-sharded state.
+
+    One shard_map program per (mesh, cap): each device expands its local
+    residue chunk ``r[B_l, n_local]`` into <= ``cap`` walkers
+    (``omega_i = ceil(r_i' * omega)`` no-zero-hop walks of per-walk weight
+    ``r_i'/omega_i`` — Fora_Whole_Graph.java:119-140 with
+    ``r' = (1-alpha) r`` and reserve += alpha r applied first), advances them
+    with the ROTATING-ADJACENCY ring (CSR slices circulate via ``ppermute``;
+    walkers stay put — parallel/node_sharded.make_node_sharded_walk_counts's
+    scheme), and deposits stop weights through a counts ring. Dangling
+    walkers reset to their start (Monte_Carlo.java:87-90). Every per-device
+    array is O(n/S) or O(cap).
+
+    Returns ``fn(p_l, r_l, keys, omega) -> p_new`` sharded (data, graph).
+    """
+    if max_steps is None:
+        max_steps = default_max_steps(alpha)
+    mesh_shape = dict(zip(mesh.axis_names, mesh.devices.shape))
+    s_graph = mesh_shape["graph"]
+    ip_np, idx_np, prob_np, other_np, n_local = partition_csr_by_node(
+        g, s_graph
+    )
+    weighted = prob_np is not None
+    chunk_spec = NamedSharding(mesh, P("graph", None))
+    arrays = dict(
+        ip=jax.device_put(jnp.asarray(ip_np), chunk_spec),
+        idx=jax.device_put(jnp.asarray(idx_np), chunk_spec),
+        prob=(jax.device_put(jnp.asarray(prob_np), chunk_spec)
+              if weighted else None),
+        other=(jax.device_put(jnp.asarray(other_np), chunk_spec)
+               if weighted else None),
+    )
+    alpha_f = jnp.float32(alpha)
+    perm = [(i, (i + 1) % s_graph) for i in range(s_graph)]
+
+    def _rot(x):
+        return jax.lax.ppermute(x, "graph", perm) if s_graph > 1 else x
+
+    def local(ip_c, idx_c, prob_c, other_c, p_l, r_l, keys, omega):
+        b_l = r_l.shape[0]
+        my = jax.lax.axis_index("graph").astype(jnp.int32)
+        base = my * n_local
+
+        # --- walker expansion from the local residue chunk (O(cap))
+        r1 = (1.0 - alpha_f) * r_l
+        p_new = p_l + alpha_f * r_l
+        om = jnp.where(r1 > 0, jnp.ceil(r1 * omega), 0.0).astype(jnp.int32)
+        wgt_node = jnp.where(
+            om > 0, r1 / jnp.maximum(om, 1).astype(jnp.float32), 0.0
+        )
+        slots, valid = expand_walkers(om.reshape(-1), cap)
+        rows = (slots // n_local).astype(jnp.int32)
+        starts = (base + slots % n_local).astype(jnp.int32)
+        wgt = wgt_node.reshape(-1)[slots] * valid.astype(jnp.float32)
+        key = jax.random.fold_in(
+            jax.random.wrap_key_data(keys[0, 0]),
+            jax.lax.axis_index("data") * s_graph + my,
+        )
+
+        def move(cur, u_move, u2, need, ip, idx, prob, other):
+            """One walker move via S rotating-slice hops (chunks end home)."""
+
+            def hop(t, carry):
+                ip_, idx_, prob_, other_, nxt = carry
+                b0 = jax.lax.rem(my - t + s_graph, s_graph) * n_local
+                in_chunk = need & (cur >= b0) & (cur < b0 + n_local)
+                lv = jnp.clip(cur - b0, 0, n_local - 1)
+                lo = jnp.take(ip_[0], lv)
+                deg = jnp.take(ip_[0], lv + 1) - lo
+                pick = jnp.minimum(
+                    (u_move * deg.astype(jnp.float32)).astype(jnp.int32),
+                    deg - 1,
+                )
+                slot = lo + jnp.maximum(pick, 0)
+                if weighted:
+                    accept = u2 < jnp.take(prob_[0], slot)
+                    slot = jnp.where(accept, slot, jnp.take(other_[0], slot))
+                cand = jnp.take(idx_[0], slot)
+                cand = jnp.where(deg > 0, cand, starts)   # dangling -> start
+                nxt = jnp.where(in_chunk, cand, nxt)
+                return (_rot(ip_), _rot(idx_),
+                        _rot(prob_) if weighted else prob_,
+                        _rot(other_) if weighted else other_, nxt)
+
+            return jax.lax.fori_loop(
+                0, s_graph, hop, (ip, idx, prob, other, cur)
+            )
+
+        # no-zero-hop: one forced move before stop tests begin
+        # (Fora_Whole_Graph.java:134 uses random_walk_no_zero_hop)
+        key, k0 = jax.random.split(key)
+        u0 = jax.random.uniform(k0, starts.shape)
+        u2_0 = None
+        if weighted:
+            key, k0b = jax.random.split(key)
+            u2_0 = jax.random.uniform(k0b, starts.shape)
+        ip_c, idx_c, prob_c, other_c, cur = move(
+            starts, u0, u2_0, jnp.ones(starts.shape, bool),
+            ip_c, idx_c, prob_c, other_c,
+        )
+
+        def cond(state):
+            _, active, _, step, *_ = state
+            any_global = jax.lax.pmax(
+                jnp.any(active).astype(jnp.int32), ("data", "graph")
+            )
+            return (step < max_steps) & (any_global > 0)
+
+        def body(state):
+            cur_, active, k, step, ip, idx, prob, other = state
+            k, k_u = jax.random.split(k)
+            u = jax.random.uniform(k_u, starts.shape)
+            stop_now = u < alpha_f
+            u_move = (u - alpha_f) * (1.0 / (1.0 - alpha_f))
+            u2 = None
+            if weighted:
+                k, k_u2 = jax.random.split(k)
+                u2 = jax.random.uniform(k_u2, starts.shape)
+            need = active & ~stop_now
+            ip, idx, prob, other, nxt = move(cur_, u_move, u2, need,
+                                             ip, idx, prob, other)
+            cur_ = jnp.where(need, nxt, cur_)
+            return cur_, active & ~stop_now, k, step + 1, ip, idx, prob, other
+
+        stops, *_ = jax.lax.while_loop(
+            cond, body,
+            (cur, jnp.ones(starts.shape, bool), key, jnp.int32(0),
+             ip_c, idx_c, prob_c, other_c),
+        )
+
+        # deposit ring: [B_l, n_local] counts chunks circulate; after S hops
+        # each is home having visited every graph-group device
+        def dhop(t, chunk):
+            b0 = jax.lax.rem(my - t + s_graph, s_graph) * n_local
+            in_range = (stops >= b0) & (stops < b0 + n_local)
+            lv = jnp.clip(stops - b0, 0, n_local - 1)
+            chunk = chunk.at[rows, lv].add(jnp.where(in_range, wgt, 0.0))
+            return _rot(chunk)
+
+        counts = jax.lax.fori_loop(
+            0, s_graph, dhop, jnp.zeros((b_l, n_local), jnp.float32)
+        )
+        return p_new + counts
+
+    if weighted:
+        fn = local
+        chunk_specs = (P("graph", None),) * 4
+    else:
+        def fn(ip_c, idx_c, p_l, r_l, keys, omega):
+            return local(ip_c, idx_c, None, None, p_l, r_l, keys, omega)
+
+        chunk_specs = (P("graph", None),) * 2
+
+    mapped = jax.shard_map(
+        fn, mesh=mesh,
+        in_specs=chunk_specs + (
+            P("data", "graph"), P("data", "graph"),   # p, r
+            P("data", "graph", None),                 # key material
+            P(),                                      # omega
+        ),
+        out_specs=P("data", "graph"),
+        check_vma=False,
+    )
+    jitted = jax.jit(mapped)
+
+    def call(p_l, r_l, key, omega):
+        keys = jax.random.key_data(
+            jax.random.split(key, mesh_shape["data"] * s_graph)
+        ).reshape(mesh_shape["data"], s_graph, -1)
+        if weighted:
+            return jitted(arrays["ip"], arrays["idx"], arrays["prob"],
+                          arrays["other"], p_l, r_l, keys,
+                          jnp.float32(omega))
+        return jitted(arrays["ip"], arrays["idx"], p_l, r_l, keys,
+                      jnp.float32(omega))
+
+    return call
+
+
+def _pow2(x: int, floor: int = 1024) -> int:
+    import math
+
+    return max(floor, 1 << int(math.ceil(math.log2(max(x, 1)))))
+
+
+class NodeShardedForaWholeGraph:
+    """Node-sharded FORA whole-graph engine (O(n/S) state per device).
+
+    The multi-device analogue of :class:`ppr_tpu.models.fora.ForaWholeGraph`
+    (Fora_Whole_Graph.java:82-146): a push phase of synchronous ring-exchange
+    propagation sweeps (each sweep multiplies the residue mass by exactly
+    ``1-alpha``, so the sweep count for any target mass is closed-form — no
+    host-polled adaptive loop needed), then residual completion either by
+
+    * ``completion="spmv"``: more ring sweeps down to ``eps * delta``
+      (deterministic, exact within the truncation bound), or
+    * ``completion="walks"``: the reference's randomized estimator —
+      ``omega_i = ceil(r_i' * omega)`` no-zero-hop walks per residual node,
+      executed by the ROTATING-ADJACENCY walk ring (each device keeps 1/S of
+      the CSR; SURVEY.md §7 "cross-shard walks", graph-migrates variant).
+
+    The walks-mode cap per device is pow2-bucketed from a measured total
+    (one [D, S] host read per call), bounding recompiles.
+    """
+
+    name = "FORA-node-sharded"
+
+    def __init__(self, dataset, alpha: float = 0.15, *,
+                 mesh: Mesh | None = None, completion: str = "spmv",
+                 seed: int = 0, max_walkers_per_device: int = 1 << 26):
+        self.dataset = dataset
+        self.graph = dataset.graph
+        self.alpha = float(alpha)
+        n = self.graph.n
+        self.delta = 1.0 / n
+        self.pfail = 1.0 / n
+        self.completion = completion
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.max_walkers_per_device = max_walkers_per_device
+        self._key = jax.random.key(seed)
+        self._mesh_shape = dict(zip(self.mesh.axis_names,
+                                    self.mesh.devices.shape))
+        self._prepare, self._run_ring = make_node_sharded_propagate_ring(
+            self.mesh, self.graph, self.alpha
+        )
+        self._totals = None
+        self._walk_programs: dict[int, object] = {}
+
+    def next_key(self):
+        self._key, sub = jax.random.split(self._key)
+        return sub
+
+    def _iters_to(self, rsum_from: float, rsum_to: float) -> int:
+        import math
+
+        if rsum_to >= rsum_from or rsum_from <= 0:
+            return 0
+        return int(math.ceil(
+            math.log(rsum_to / rsum_from) / math.log1p(-self.alpha)
+        ))
+
+    def compute_whole_graph_batch(self, sources: np.ndarray,
+                                  param) -> np.ndarray:
+        import math
+
+        eps = float(param)
+        g = self.graph
+        if len(sources) == 0:
+            return np.zeros((0, g.n_pad), np.float32)
+        sources = np.asarray(sources, np.int32)
+        b = len(sources)
+        unit = self._mesh_shape["data"]
+        b_pad = ((max(8, b) + unit - 1) // unit) * unit
+        src_pad = np.concatenate([sources,
+                                  np.zeros(b_pad - b, np.int32)])
+
+        ln_term = math.log(2.0 / self.pfail)
+        omega = (eps + 2.0) * ln_term / eps / eps / self.delta
+        target = eps * self.delta
+
+        p_l, r_l, onehot_l = self._prepare(src_pad)
+        if self.completion == "spmv":
+            iters = self._iters_to(1.0, target)
+            p_l, r_l = self._run_ring(p_l, r_l, onehot_l, iters)
+            out = np.asarray(p_l)
+        else:
+            # push until the residual walk count fits the per-device pool:
+            # total walks ~ omega * rsum and rsum(t) = (1-alpha)^t exactly
+            budget = self.max_walkers_per_device * math.prod(
+                self.mesh.devices.shape
+            )
+            iters = max(1, self._iters_to(1.0, min(1.0, budget / omega)))
+            p_l, r_l = self._run_ring(p_l, r_l, onehot_l, iters)
+            if self._totals is None:
+                self._totals = make_node_sharded_walk_totals(
+                    self.mesh, self.graph, self.alpha
+                )
+            per_dev = np.asarray(self._totals(r_l, jnp.float32(omega)))
+            cap = _pow2(int(per_dev.max()))
+            if cap > self.max_walkers_per_device:
+                raise ValueError(
+                    f"walks-mode pool {cap} exceeds the per-device budget; "
+                    "raise max_walkers_per_device or use completion='spmv'"
+                )
+            if cap not in self._walk_programs:
+                self._walk_programs[cap] = make_node_sharded_walk_completion(
+                    self.mesh, self.graph, self.alpha, cap
+                )
+            p_l = self._walk_programs[cap](p_l, r_l, self.next_key(), omega)
+            out = np.asarray(p_l)
+
+        # dangling-source short-circuit (Fora_Whole_Graph's walk phase never
+        # leaves the source when d_out(s) = 0 — pi(s, s) = 1 exactly)
+        deg_src = np.asarray(g.out_deg)[src_pad]
+        out = out.copy()
+        dangling_rows = np.nonzero(deg_src == 0)[0]
+        if len(dangling_rows):
+            out[dangling_rows] = 0.0
+            out[dangling_rows, src_pad[dangling_rows]] = 1.0
+        return out[:b]

@@ -141,6 +141,78 @@ def test_node_sharded_topk_weighted_matches_single_device():
     _assert_topk_match(ds, mesh, sources)
 
 
+def _exact_rows(ds, sources, alpha=0.15):
+    from tests.conftest import exact_ppr_dangling_to_source
+
+    g = ds.graph
+    src = np.asarray(g.edge_src)[: g.m]
+    dst = np.asarray(g.edge_dst)[: g.m]
+    rows = np.zeros((len(sources), g.n_pad))
+    for i, s in enumerate(sources):
+        rows[i, : g.n] = exact_ppr_dangling_to_source(
+            src, dst, g.n, int(s), alpha
+        )[: g.n]
+    return rows
+
+
+def test_node_sharded_whole_graph_spmv_vs_oracle():
+    """SpMV-completion whole-graph FORA on the ring partition: per-node
+    error bounded by the eps*delta residual truncation."""
+    from ppr_tpu.graph.io import synthetic_powerlaw
+    from ppr_tpu.parallel.node_sharded_fora import NodeShardedForaWholeGraph
+
+    ds = synthetic_powerlaw(512, 6, seed=9, dense_threshold=0)
+    mesh = make_mesh(8, data=2, graph=4)
+    eng = NodeShardedForaWholeGraph(ds, alpha=0.15, mesh=mesh,
+                                    completion="spmv")
+    rng = np.random.default_rng(4)
+    sources = rng.integers(0, ds.graph.n, size=5).astype(np.int32)
+    eps = 0.5
+    out = eng.compute_whole_graph_batch(sources, eps)
+    exact = _exact_rows(ds, sources)
+    # truncation leaves <= eps*delta residue; each node's error is below it
+    assert np.abs(out - exact).max() <= eps / ds.graph.n + 1e-5
+    np.testing.assert_allclose(out.sum(axis=1), 1.0, atol=eps / ds.graph.n)
+
+
+def test_node_sharded_whole_graph_walks_completion():
+    """Walks-mode completion (rotating-adjacency ring walks,
+    Fora_Whole_Graph.java:119-140): statistical agreement with the oracle
+    and exact mass conservation up to sampling noise."""
+    from ppr_tpu.graph.io import synthetic_powerlaw
+    from ppr_tpu.parallel.node_sharded_fora import NodeShardedForaWholeGraph
+
+    ds = synthetic_powerlaw(256, 5, seed=11, dense_threshold=0)
+    mesh = make_mesh(8, data=2, graph=4)
+    eng = NodeShardedForaWholeGraph(ds, alpha=0.15, mesh=mesh,
+                                    completion="walks", seed=3)
+    sources = np.array([1, 7, 20, 33], np.int32)
+    out = eng.compute_whole_graph_batch(sources, 0.5)
+    exact = _exact_rows(ds, sources)
+    assert out.shape == (len(sources), ds.graph.n_pad)
+    # every walk deposits its weight exactly once -> rows sum to ~1
+    np.testing.assert_allclose(out.sum(axis=1), 1.0, atol=1e-3)
+    # eps=0.5 at n=256 gives ~2.5e4 walks/unit residue: MC noise ~ 1e-2
+    assert np.abs(out - exact).max() < 0.03
+
+
+def test_node_sharded_whole_graph_dangling_source():
+    from ppr_tpu.graph.csr import build_graph
+    from ppr_tpu.graph.io import Dataset
+    from ppr_tpu.parallel.node_sharded_fora import NodeShardedForaWholeGraph
+
+    src = np.array([0, 1, 2, 0])
+    dst = np.array([1, 2, 0, 3])
+    g = build_graph(src, dst, n=4, dense_threshold=0)
+    ds = Dataset(graph=g, names=list("abcd"), name="tiny4")
+    mesh = make_mesh(4, data=2, graph=2)
+    eng = NodeShardedForaWholeGraph(ds, alpha=0.15, mesh=mesh,
+                                    completion="walks")
+    out = eng.compute_whole_graph_batch(np.array([3], np.int32), 0.5)
+    assert out[0, 3] == pytest.approx(1.0)
+    assert out[0].sum() == pytest.approx(1.0)
+
+
 def test_node_sharded_topk_single_graph_shard():
     """graph=1 degenerates to data-parallel (no ring hops) and must still
     match — guards the S==1 rotation short-circuit."""
