@@ -53,6 +53,19 @@ class BaseAllPair(PPRAlgorithm):
         )
         return PPRStore(root, n=self.graph.n_pad)
 
+    def warm_preprocessing(self, threshold: float, k: int = -1) -> None:
+        """Compile-warm the all-pair sweep programs: one target batch
+        through the reverse-push + device-compaction path, discarded (see
+        PreprocessingMixin.warm_preprocessing)."""
+        from ..ops.compact import threshold_nonzeros
+
+        threshold = float(threshold)
+        bws = self._make_bws(threshold)
+        targets = np.arange(min(self.target_batch, self.graph.n))
+        reserve = bws.whole_graph_device(targets)
+        threshold_nonzeros(reserve, self.graph.node_mask, threshold,
+                           rows=len(targets))
+
     def preprocessing(self, threshold: float, k: int = -1, *,
                       progress: bool = True) -> None:
         """Run the all-pair sweep and persist per-source rows."""

@@ -86,7 +86,16 @@ class PPRService:
             if algorithm == AlgoType.FORA_TOPK else algorithm,
             dataset, k,
         )
-        if hub_split and not dataset.graph.weighted:
+        if hub_split and dataset.graph.weighted:
+            # loud, like the precomputed= conflicts above: a user asking for
+            # the measured-fastest config must not silently get the slow path
+            # (the hybrid SpMV has no weighted variant, ops/hub_split.py)
+            raise ValueError(
+                "hub_split= is unsupported on weighted graphs (the dense-hub "
+                "hybrid SpMV only covers uniform 1/d edge weights) — drop "
+                "hub_split or load the graph unweighted"
+            )
+        if hub_split:
             import jax.numpy as jnp
 
             from .ops.hub_split import build_hub_split

@@ -36,6 +36,8 @@ class PPRStore:
         self.root = root
         self.n = n
         self._row_index: dict[int, str] | None = None
+        self._ranges: list | None = None
+        self._range_starts: list = []
         self._shard_cache: dict[str, dict[str, np.ndarray]] = {}
 
     # --- write path -------------------------------------------------------
@@ -48,6 +50,7 @@ class PPRStore:
             shutil.rmtree(self.root, ignore_errors=True)
         os.makedirs(self.root, exist_ok=True)
         self._row_index = None
+        self._ranges = None
         self._shard_cache.clear()
 
     def has_batch(self, start: int) -> bool:
@@ -104,8 +107,7 @@ class PPRStore:
         return z["ids"][lo:hi].copy(), z["vals"][lo:hi].copy()
 
     def _load_shard(self, source: int) -> dict[str, np.ndarray]:
-        index = self._build_index()
-        shard = index.get(int(source))
+        shard = self._shard_for(int(source))
         if shard is None:
             raise KeyError(f"source {source} not in store {self.root}")
         cached = self._shard_cache.get(shard)
@@ -134,10 +136,23 @@ class PPRStore:
         shards = sorted(
             f for f in os.listdir(self.root) if f.startswith("batch_")
         )
-        manifest = {"n": self.n, "finalized": True, "shards": shards, **extra}
+        # manifest-level source->shard ranges: attaching a store then reads
+        # NO shard up front (a 262k-source store used to pay ~256 npz member
+        # reads in _build_index before the first query)
+        ranges = []
+        for shard in shards:
+            with np.load(os.path.join(self.root, shard)) as z:
+                s = z["sources"]
+            if s.size:
+                ranges.append([int(s.min()), int(s.max()), int(s.size),
+                               shard])
+        ranges.sort()
+        manifest = {"n": self.n, "finalized": True, "shards": shards,
+                    "ranges": ranges, **extra}
         with open(os.path.join(self.root, _MANIFEST), "w") as f:
             json.dump(manifest, f)
         self._row_index = None
+        self._ranges = None
 
     # --- read path --------------------------------------------------------
     def read_row(self, source: int) -> np.ndarray:
@@ -147,6 +162,31 @@ class PPRStore:
         row = np.zeros(self.n, np.float32)
         row[ids] = vals
         return row
+
+    def _shard_for(self, source: int) -> str | None:
+        """Map source -> shard file. Fast path: the manifest's sorted
+        [lo, hi, count, shard] ranges (bisect, zero shard reads). A range
+        whose count < hi-lo+1 has holes — membership is confirmed against
+        the shard's own sources (falling back to the full scan if absent).
+        Stores finalized before manifests carried ranges use the scan."""
+        import bisect
+
+        if self._ranges is None:
+            self._ranges = self._read_manifest().get("ranges", [])
+            self._range_starts = [r[0] for r in self._ranges]
+        ranges = self._ranges
+        if ranges:
+            i = bisect.bisect_right(self._range_starts, source) - 1
+            if 0 <= i < len(ranges):
+                lo, hi, count, shard = ranges[i]
+                if lo <= source <= hi:
+                    if count == hi - lo + 1:
+                        return shard
+                    with np.load(os.path.join(self.root, shard)) as z:
+                        if np.any(z["sources"] == source):
+                            return shard
+            return self._build_index().get(source)
+        return self._build_index().get(source)
 
     def _build_index(self) -> dict[int, str]:
         if self._row_index is None:

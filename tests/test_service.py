@@ -154,3 +154,21 @@ def test_service_precomputed_guards(got, tmp_path, monkeypatch):
     # matching alpha still works
     svc = PPRService.from_dataset(got, alpha=0.15, precomputed=(1e-3, -1))
     assert svc.top_k([3], k=10)
+
+
+def test_service_hub_split_weighted_raises():
+    """hub_split on a weighted graph raises loudly instead of silently
+    serving the slow path (VERDICT r2 weak item 7)."""
+    import pytest
+
+    from ppr_tpu.graph.csr import build_graph
+    from ppr_tpu.graph.io import Dataset
+    from ppr_tpu.service import PPRService
+
+    rng = np.random.default_rng(0)
+    n, m = 64, 256
+    g = build_graph(rng.integers(0, n, m), rng.integers(0, n, m), n=n,
+                    weights=rng.uniform(0.5, 2.0, m), dense_threshold=0)
+    ds = Dataset(graph=g, names=[str(i) for i in range(n)], name="w")
+    with pytest.raises(ValueError, match="hub_split"):
+        PPRService.from_dataset(ds, hub_split=8)
