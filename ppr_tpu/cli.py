@@ -68,6 +68,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "explicit note row once exceeded")
     p.add_argument("--trace-dir", default=None,
                    help="write a jax.profiler trace of the batch test here")
+    p.add_argument("--mesh", default=None, metavar="DxG",
+                   help="run every algorithm (incl. preprocessing sweeps) on "
+                        "a (data=D, graph=G) device mesh, e.g. --mesh 1x1 "
+                        "(one chip through the sharded engines) or "
+                        "--mesh 4x2; D*G must not exceed jax.device_count()")
     return p
 
 
@@ -131,10 +136,18 @@ def main(argv=None) -> int:
     dataset = load_dataset(args.db, rel=args.rel)
     print(f"Loaded dataset '{dataset.name}': {dataset.graph.n} nodes, "
           f"{dataset.graph.m} edges")
+    mesh = None
+    if args.mesh:
+        from .parallel.sharded import make_mesh
+
+        d, g_ax = (int(x) for x in args.mesh.lower().split("x"))
+        mesh = make_mesh(d * g_ax, data=d, graph=g_ax)
+        print(f"Mesh: data={d} x graph={g_ax} "
+              f"({d * g_ax} device(s), sharded engines)")
     harness = PerfHarness(
         dataset, alpha=args.alpha, seed=args.seed,
         out_dir=args.out_dir, batched=not args.sequential,
-        fora_completion=args.fora_completion,
+        fora_completion=args.fora_completion, mesh=mesh,
     )
 
     # lifecycle hook parity (the reference registers a JVM shutdown hook that

@@ -180,8 +180,12 @@ class PerfHarness:
     def __init__(self, dataset: Dataset, alpha: float = 0.15, *, seed: int = 0,
                  out_dir: str = ".", batched: bool = True,
                  progress: bool = True, warmup: bool = True,
-                 fora_completion: str = "auto"):
+                 fora_completion: str = "auto", mesh=None):
         self.fora_completion = fora_completion
+        #: optional jax.sharding.Mesh — algorithms are built through
+        #: parallel.mesh_algos.mesh_algo_obj so every protocol test
+        #: (including the preprocessing sweeps) runs on the device mesh
+        self.mesh = mesh
         self.dataset = dataset
         self.alpha = alpha
         self.seed = seed
@@ -218,8 +222,14 @@ class PerfHarness:
         test_type: str = TestType.WHOLE_GRAPH,
     ) -> PerfResult:
         conf = AlgoConf(self.alpha, seed=self.seed)
-        algo = conf.new_algo_obj(algo_type, self.dataset, k)
-        if hasattr(algo, "completion"):
+        if self.mesh is not None:
+            from .parallel.mesh_algos import mesh_algo_obj
+
+            algo = mesh_algo_obj(algo_type, self.dataset, self.alpha, k,
+                                 mesh=self.mesh, seed=self.seed)
+        else:
+            algo = conf.new_algo_obj(algo_type, self.dataset, k)
+        if self.mesh is None and hasattr(algo, "completion"):
             algo.completion = self.fora_completion
         sources = self.get_query_nodes(query_num)
         oracle_rows = self._oracle_rows(sources)
