@@ -264,7 +264,15 @@ def main(argv=None) -> int:
     ap.add_argument("--batch", type=int, default=512)
     ap.add_argument("--measure", action="store_true",
                     help="also run the virtual-mesh breakdown measurement")
+    ap.add_argument("--cpu", type=int, default=0, metavar="N",
+                    help="force the CPU backend with N virtual devices "
+                         "(the breakdown measurement must NOT steal the "
+                         "single tunneled TPU chip from a running job)")
     args = ap.parse_args(argv)
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_num_cpu_devices", args.cpu)
 
     ds = synthetic_powerlaw(args.n, args.deg, seed=3, dense_threshold=0)
     out = two_host_prediction(ds.graph, batch=args.batch)
