@@ -276,7 +276,8 @@ def residual_propagate(
     return p_t.T, r_t.T, iters
 
 
-@partial(jax.jit, static_argnames=("alpha", "k", "max_iters", "num_chunks"))
+@partial(jax.jit, static_argnames=("alpha", "k", "max_iters", "num_chunks",
+                                   "early_exit", "early_check_every"))
 def annealed_topk_propagate(
     g: Graph,
     p: jax.Array,            # f32[B, n_pad]
@@ -290,6 +291,8 @@ def annealed_topk_propagate(
     max_iters: int = 600,
     hs=None,                 # optional ops.hub_split.HubSplit
     num_chunks: int = 1,     # >1: chunked per-edge gather (huge graphs)
+    early_exit: bool = False,
+    early_check_every: int = 8,
 ):
     """The whole FORA top-k delta-annealing loop fused into one while_loop.
 
@@ -299,16 +302,35 @@ def annealed_topk_propagate(
     >= (1+eps')*delta" expressed as the equivalent cheap count
     ``#{v: p_v >= (1+eps')*delta} >= k`` (Fora_Topk.java:173-176) — and
     delta anneals by /4 (:178) until min_delta. Runs entirely on device:
-    no host synchronization, no per-round dispatch."""
+    no host synchronization, no per-round dispatch.
+
+    ``early_exit=True`` (the serving latency fast path) adds a SOUND set-
+    stability certificate checked every ``early_check_every`` sweeps: the
+    reserve only grows (p += alpha*r, r >= 0) and the total future deposit
+    into any single node is bounded by the row's remaining residue mass, so
+    once ``kth(p) > (k+1)th(p) + rsum_row`` no outsider can enter the top-k
+    — the id set equals the fully-annealed run's exactly (values are lower
+    bounds within rsum). Boundary ties never certify (strict gap), falling
+    back to the reference stopping rule.
+    """
     alpha_f = jnp.float32(alpha)
     # node-major state [n_pad, B] — see residual_propagate
     is_dangling = ((g.out_deg == 0) & (g.node_mask > 0))[:, None]
     p_t, r_t = p.T, r.T
     src_t = src_onehot.T
+    kk = min(k + 1, g.n_pad)
 
     def row_done(p_, delta):
         thresh = (1.0 + eps) * delta
         return jnp.sum((p_ >= thresh).astype(jnp.int32), axis=0) >= k
+
+    def set_stable(p_, r_):
+        """Per-row certificate: the current top-k id set is final."""
+        if kk <= k:              # k >= n: every node is in the set
+            return jnp.bool_(True)
+        rsum_row = jnp.sum(r_, axis=0)                      # [B]
+        vals, _ = jax.lax.top_k(p_.T, kk)                   # [B, k+1]
+        return jnp.all(vals[:, k - 1] > vals[:, kk - 1] + rsum_row)
 
     def cond(state):
         _, _, delta, finished, it = state
@@ -340,6 +362,12 @@ def annealed_topk_propagate(
             lambda: jnp.all(row_done(p_, delta)),
             lambda: jnp.bool_(False),
         )
+        if early_exit:
+            done = done | jax.lax.cond(
+                (it + 1) % early_check_every == 0,
+                lambda: set_stable(p_, r_),
+                lambda: jnp.bool_(False),
+            )
         at_floor = delta <= min_delta
         finished = done | (settled & at_floor)
         delta = jnp.where(
@@ -573,7 +601,8 @@ class ForaTopk(_ForaCostModel, PPRAlgorithm):
     name = "FORA-Topk"
 
     def __init__(self, dataset, alpha: float, k: int, *, seed: int = 0,
-                 completion: str = "auto", push: str = "auto"):
+                 completion: str = "auto", push: str = "auto",
+                 early_exit: bool = False):
         super().__init__(dataset, alpha, seed=seed)
         n = dataset.graph.n
         # Algo_Conf.set_conf_fora_topk (Algo_Conf.java:71-77)
@@ -582,6 +611,10 @@ class ForaTopk(_ForaCostModel, PPRAlgorithm):
         self.delta0 = 1.0 / self.k
         self.pfail = 1.0 / n / n / math.log(max(n / self.k, math.e))
         self.completion = completion
+        #: serving fast path: stop the annealed loop as soon as the top-k id
+        #: SET is provably final (see annealed_topk_propagate's certificate)
+        #: — ids match the full run exactly; values are lower bounds
+        self.early_exit = early_exit
         #: push-phase strategy: "reference" (the incremental rmax-schedule
         #: pushes of Fora_Topk.java:123-145), "none" (skip pushes — with SpMV
         #: completion every sweep costs a full SpMV anyway, so annealed
@@ -662,6 +695,7 @@ class ForaTopk(_ForaCostModel, PPRAlgorithm):
                 g, p, r, src_onehot, jnp.float32(eps),
                 delta, self.min_delta, k, self.alpha, hs=self.hub_split,
                 num_chunks=self._num_chunks(len(sources)),
+                early_exit=self.early_exit,
             )
             return p, sources_j, src_onehot
 

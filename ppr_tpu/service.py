@@ -38,7 +38,8 @@ class PPRService:
                  algorithm: AlgoType = AlgoType.FORA_TOPK,
                  hub_split: int | None = None, hub_dtype=None,
                  calibrate: bool = False, mesh=None,
-                 precomputed: tuple | None = None):
+                 precomputed: tuple | None = None,
+                 early_exit: bool = False):
         """``hub_split=H`` enables the dense-hub hybrid SpMV with H hubs in
         the FORA serving kernels (bf16 hub matrix unless ``hub_dtype``
         overrides — the measured-fastest serving config on power-law
@@ -50,7 +51,10 @@ class PPRService:
         :class:`~ppr_tpu.parallel.sharded_fora.ShardedForaTopk`.
         ``precomputed=(threshold, k)`` serves every query from an existing
         BASE all-pair store — pure precomputed reads, the reference's BASE
-        query mode (Base_Whole_Graph.java:167-186) as a service."""
+        query mode (Base_Whole_Graph.java:167-186) as a service.
+        ``early_exit=True`` enables the top-k set-stability fast exit in
+        the annealed serving loop (ids exact, values lower bounds — see
+        annealed_topk_propagate)."""
         self.dataset = dataset
         self.eps = eps
         self.k = k
@@ -81,6 +85,13 @@ class PPRService:
                                               mesh=mesh)
         else:
             self._topk_algo = conf.new_algo_obj(algorithm, dataset, k)
+        if early_exit:
+            if not hasattr(self._topk_algo, "early_exit"):
+                raise ValueError(
+                    f"early_exit is only supported by the FORA top-k "
+                    f"serving engine, not {algorithm}"
+                )
+            self._topk_algo.early_exit = True
         self._wg_algo = conf.new_algo_obj(
             AlgoType.FORA_WHOLE_GRAPH
             if algorithm == AlgoType.FORA_TOPK else algorithm,

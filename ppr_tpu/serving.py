@@ -356,6 +356,11 @@ def main(argv=None) -> int:
     ap.add_argument("--hub-split", type=int, default=None,
                     help="dense-hub hybrid SpMV hub count")
     ap.add_argument("--max-batch", type=int, default=1024)
+    ap.add_argument("--early-exit", action="store_true",
+                    help="annealed-loop top-k set-stability fast exit "
+                         "(ids exact; values lower bounds)")
+    ap.add_argument("--calibrate", action="store_true",
+                    help="measure backend cost constants at startup")
     ap.add_argument("--max-delay-ms", type=float, default=0.0)
     ap.add_argument("--slo-ms", type=float, default=None,
                     help="target worst-case request latency; replaces the "
@@ -384,7 +389,9 @@ def main(argv=None) -> int:
     ds = load_dataset(args.db)
     svc = PPRService.from_dataset(ds, alpha=args.alpha, eps=args.eps,
                                   k=args.k, hub_split=args.hub_split,
-                                  mesh=mesh, precomputed=precomputed)
+                                  mesh=mesh, precomputed=precomputed,
+                                  early_exit=args.early_exit,
+                                  calibrate=args.calibrate)
     print(json.dumps({"ready": True, "dataset": ds.name,
                       "n": ds.graph.n, "m": ds.graph.m}),
           file=sys.stderr, flush=True)

@@ -98,6 +98,8 @@ def run_daemon_mode(args) -> int:
            "--k", str(args.k), "--max-batch", str(args.max_batch)]
     if args.hub_split:
         cmd += ["--hub-split", str(args.hub_split)]
+    if getattr(args, "early_exit", False):
+        cmd += ["--early-exit"]
     if args.slo_ms:
         cmd += ["--slo-ms", str(args.slo_ms)]
     env = dict(os.environ)
@@ -212,6 +214,13 @@ def main(argv=None) -> int:
                     help="distinct query sources cycled through")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--hub-split", type=int, default=None)
+    ap.add_argument("--early-exit", action="store_true",
+                    help="enable the annealed loop's top-k set-stability "
+                         "fast exit (ids exact; values lower bounds)")
+    ap.add_argument("--calibrate", action="store_true",
+                    help="measure per-walk/per-edge costs at startup so the "
+                         "FORA cost model picks the width-optimal completion "
+                         "(walks at small dispatch widths)")
     ap.add_argument("--slo-ms", type=float, default=None,
                     help="run the server's latency-targeted adaptive "
                          "dispatch cap instead of the static --max-batch")
@@ -238,7 +247,9 @@ def main(argv=None) -> int:
     ds = load_dataset(args.db)
     print(f"dataset {ds.name}: n={ds.graph.n} m={ds.graph.m}", flush=True)
     svc = PPRService.from_dataset(ds, alpha=args.alpha, eps=args.eps,
-                                  k=args.k, hub_split=args.hub_split)
+                                  k=args.k, hub_split=args.hub_split,
+                                  early_exit=args.early_exit,
+                                  calibrate=args.calibrate)
     rng = random.Random(args.seed)
     sources = [rng.randrange(ds.graph.n) for _ in range(args.queries)]
 

@@ -130,3 +130,48 @@ def test_preprocessing_roundtrip_forward_push(got, tmp_path, monkeypatch):
     np.testing.assert_allclose(stored, direct, atol=1e-6)
     assert fp.get_prep_size() > 0
     fp.delete_prep_dir()
+
+
+def test_fora_topk_early_exit_set_exact():
+    """The serving fast exit (set-stability certificate) returns exactly the
+    fully-annealed run's top-k id set, in fewer or equal sweeps."""
+    import jax.numpy as jnp
+
+    from ppr_tpu.graph.io import synthetic_powerlaw
+    from ppr_tpu.models import AlgoConf
+    from ppr_tpu.models.fora import annealed_topk_propagate
+    from ppr_tpu.ops.push import forward_push_init
+
+    ds = synthetic_powerlaw(4096, 8, seed=17, dense_threshold=0)
+    g = ds.graph
+    k, eps_param = 10, 0.5
+    rng = np.random.default_rng(5)
+    sources = rng.integers(0, g.n, size=8).astype(np.int32)
+
+    def run(early):
+        conf = AlgoConf(0.15, seed=7)
+        fora = conf.set_conf_fora_topk(ds, k)
+        fora.push, fora.completion = "none", "spmv"
+        fora.early_exit = early
+        return fora.compute_topk_batch(sources, k, eps_param)
+
+    full = run(False)
+    fast = run(True)
+    from ppr_tpu.ops.topk import topk_ids_with_ties
+
+    for i in range(len(sources)):
+        want = set(topk_ids_with_ties(full[i], k, tol=0.0)[:k].tolist())
+        got = set(topk_ids_with_ties(fast[i], k, tol=0.0)[:k].tolist())
+        assert got == want, f"row {i}"
+        # fast values are lower bounds of the converged values
+        assert np.all(fast[i] <= full[i] + 1e-6)
+
+    # the certificate actually fires earlier (sweep counts drop)
+    eps = jnp.float32(eps_param * 0.5)
+    p, r, onehot = forward_push_init(g, jnp.asarray(sources))
+    p = jnp.zeros_like(p)
+    _, _, it_full = annealed_topk_propagate(
+        g, p, r, onehot, eps, 1.0 / k, 1.0 / g.n, k, 0.15)
+    _, _, it_fast = annealed_topk_propagate(
+        g, p, r, onehot, eps, 1.0 / k, 1.0 / g.n, k, 0.15, early_exit=True)
+    assert int(it_fast) <= int(it_full)
