@@ -16,10 +16,19 @@ for algo in NEO4J_METHOD FORA_WHOLE_GRAPH MC FWDPUSH BASE_WHOLE_GRAPH; do
     echo "=== $algo already complete, skipping ==="
     continue
   fi
+  # FORA's prep rows must use the reference's walk completion: exact spmv
+  # completion makes every reachable entry positive, and shipping ~dense
+  # [128, 262k] compaction results through the ~22 MB/s device->host tunnel
+  # dominated the sweep (measured 17 s/batch vs ~0.5 s compute) — walks
+  # keep rows sparse (stop nodes only), matching the reference's stores.
+  extra=()
+  if [ "$algo" = FORA_WHOLE_GRAPH ]; then
+    extra=(--fora-completion walks)
+  fi
   for attempt in 1 2 3 4 5; do
     echo "=== amazon prep $algo attempt $attempt ($(date -u +%H:%M:%S)) ==="
     timeout 14400 python -m ppr_tpu.cli --db synth:amazon --out-dir results \
-      --tests 3 --budget-s 1 --algos "$algo" 2>&1 | tail -6
+      --tests 3 --budget-s 1 --algos "$algo" "${extra[@]}" 2>&1 | tail -6
     rc=${PIPESTATUS[0]}
     echo "=== $algo attempt $attempt rc=$rc ($(date -u +%H:%M:%S)) ==="
     if [ "$rc" -eq 0 ]; then
