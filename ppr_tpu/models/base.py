@@ -130,6 +130,18 @@ class PreprocessingMixin:
         store.reset()
         n = self.graph.n
         report = progress_printer(n, enabled=progress)
+        # cost models must price the per-row compaction transfer while the
+        # sweep runs (see _ForaCostModel._use_spmv)
+        self._in_preprocessing = True
+        try:
+            self._preprocessing_sweep(store, param, batch_size, report)
+        finally:
+            self._in_preprocessing = False
+        store.finalize(alpha=self.alpha)
+        self._store = store
+
+    def _preprocessing_sweep(self, store, param, batch_size, report):
+        n = self.graph.n
         # algorithms exposing a device-resident whole-graph path get their
         # positive entries selected ON DEVICE (ops/compact.py) — the dense
         # [B, n_pad] host copy per batch is the all-pair sweep's bottleneck
@@ -160,8 +172,6 @@ class PreprocessingMixin:
                 scores = self.compute_whole_graph_batch(sources, param)
                 store.write_batch(start, sources, np.asarray(scores))
             report(min(start + batch_size, n) - 1)
-        store.finalize(alpha=self.alpha)
-        self._store = store
 
     def warm_preprocessing(self, threshold, param, *,
                            batch_size: int = 128) -> None:
@@ -173,14 +183,18 @@ class PreprocessingMixin:
         n = self.graph.n
         sources = np.arange(min(batch_size, n))
         compute_dev = getattr(self, "compute_whole_graph_device", None)
-        if compute_dev is not None:
-            from ..ops.compact import threshold_nonzeros
+        self._in_preprocessing = True   # warm the PREP-mode program choice
+        try:
+            if compute_dev is not None:
+                from ..ops.compact import threshold_nonzeros
 
-            p_dev = compute_dev(sources, param)
-            threshold_nonzeros(p_dev, self.graph.node_mask, 0.0,
-                               rows=len(sources), exclusive=True)
-        else:
-            self.compute_whole_graph_batch(sources, param)
+                p_dev = compute_dev(sources, param)
+                threshold_nonzeros(p_dev, self.graph.node_mask, 0.0,
+                                   rows=len(sources), exclusive=True)
+            else:
+                self.compute_whole_graph_batch(sources, param)
+        finally:
+            self._in_preprocessing = False
 
     def attach_store(self, param) -> None:
         """Attach a previously persisted store (a fresh process answering

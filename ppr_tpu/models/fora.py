@@ -428,6 +428,12 @@ class _ForaCostModel:
     #: HBM budget for the per-edge gather intermediate [m_pad, B]; above it
     #: the propagation loops process edges in sequential chunks
     spmv_intermediate_budget = 2 << 30
+    #: device->host transfer rate for the preprocessing compaction results;
+    #: None = backend default (the tunneled TPU link runs ~22 MB/s)
+    d2h_bytes_per_s = None
+    #: set by PreprocessingMixin.preprocessing around the sweep: the
+    #: completion choice must then price the per-row compaction transfer
+    _in_preprocessing = False
 
     def _num_chunks(self, batch: int) -> int:
         if self.hub_split is not None:
@@ -472,12 +478,31 @@ class _ForaCostModel:
         return per_batch / max(batch, 1) if self.spmv_batch_amortized \
             else per_batch
 
+    def _d2h_rate(self) -> float:
+        if self.d2h_bytes_per_s:
+            return float(self.d2h_bytes_per_s)
+        import jax
+
+        return 22e6 if jax.default_backend() != "cpu" else 4e9
+
     def _use_spmv(self, omega: float, rsum: float, target: float,
                   batch: int = 1) -> bool:
         if self.completion != "auto":
             return self.completion == "spmv"
         walk_cost = self.avg_rand_walk_time_ns * omega * rsum
-        return self._spmv_completion_ns(rsum, target, batch) < walk_cost
+        spmv_cost = self._spmv_completion_ns(rsum, target, batch)
+        if self._in_preprocessing:
+            # the all-pair sweep ships each row's positive entries through
+            # the device->host link: exact spmv completion makes nearly
+            # every reachable entry positive (nnz ~ n/row) while the walk
+            # estimator's support is bounded by its walk count. On the
+            # tunneled backend this transfer — not compute — dominated
+            # amazon Test 3 (measured 17 s vs ~0.5 s per 128-source batch
+            # at eps=500), so the auto choice must price it.
+            per_entry_ns = 8 * 1e9 / self._d2h_rate()
+            spmv_cost += self.graph.n * per_entry_ns
+            walk_cost += min(float(self.graph.n), omega * rsum) * per_entry_ns
+        return spmv_cost < walk_cost
 
 
 class ForaWholeGraph(PreprocessingMixin, _ForaCostModel, PPRAlgorithm):

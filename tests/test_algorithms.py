@@ -175,3 +175,25 @@ def test_fora_topk_early_exit_set_exact():
     _, _, it_fast = annealed_topk_propagate(
         g, p, r, onehot, eps, 1.0 / k, 1.0 / g.n, k, 0.15, early_exit=True)
     assert int(it_fast) <= int(it_full)
+
+
+def test_prep_completion_prices_transfer():
+    """In preprocessing mode the FORA auto completion prices the per-row
+    device->host compaction transfer: exact spmv completion's ~dense rows
+    lose to walk completion's sparse support at amazon-like scale (the
+    measured 17 s vs 0.5 s per-batch regression this encodes)."""
+    from ppr_tpu.graph.io import synthetic_powerlaw
+    from ppr_tpu.models import AlgoConf, AlgoType
+
+    ds = synthetic_powerlaw(65536, 2, seed=1, dense_threshold=0)
+    fora = AlgoConf(0.15).new_algo_obj(AlgoType.FORA_WHOLE_GRAPH, ds, 10)
+    # amazon-like operating point: loose eps -> tiny omega, n >> omega*rsum
+    omega, rsum, target, batch = 7000.0, 0.85, 1.9e-3, 128
+    # pretend to be the tunneled backend: slow d2h, TPU-like sweep costs
+    fora.d2h_bytes_per_s = 22e6
+    fora.avg_rand_walk_time_ns = 2000.0
+    fora.spmv_ns_per_edge = 12.0
+    fora.spmv_batch_amortized = True
+    assert fora._use_spmv(omega, rsum, target, batch)      # query mode: spmv
+    fora._in_preprocessing = True
+    assert not fora._use_spmv(omega, rsum, target, batch)  # prep mode: walks
