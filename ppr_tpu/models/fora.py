@@ -82,6 +82,23 @@ def _pow2_bucket(x: int) -> int:
     return 1 << max(10, int(math.ceil(math.log2(max(x, 1)))))
 
 
+#: walk-pool bucket hysteresis: per (n_pad, edges, weighted) graph shape,
+#: never shrink below a previously used bucket. A preprocessing sweep's
+#: batches have data-dependent walker totals that straddle pow2 boundaries;
+#: without hysteresis each crossing mints a NEW XLA program (minutes per
+#: remote compile here, 30-60+ in degraded tunnel phases) — with it the
+#: sweep converges to the largest bucket seen (<= 2x lane waste) and
+#: compiles at most O(log) programs over its lifetime.
+_WALK_CAP_HIGH_WATER: dict = {}
+
+
+def _walk_cap(g, total: int) -> int:
+    key = (g.n_pad, int(g.edge_src.shape[0]), g.weighted)
+    cap = max(_pow2_bucket(total), _WALK_CAP_HIGH_WATER.get(key, 0))
+    _WALK_CAP_HIGH_WATER[key] = cap
+    return cap
+
+
 #: program-shape tuples (n_pad, m_pad, weighted, dense, batch, alpha) whose
 #: push program has been warmed — bounded by the distinct shapes a process
 #: ever runs
@@ -112,7 +129,7 @@ def _walk_contrib_chunked(g, om, w, next_key, alpha, no_zero_hop):
         if total <= 0:
             return jnp.zeros_like(w)
         return _walk_contrib(g, om, w, next_key(), alpha,
-                             _pow2_bucket(total), no_zero_hop)
+                             _walk_cap(g, total), no_zero_hop)
     out = jnp.zeros_like(w)
     lo = 0
     margin = 1.01
@@ -139,7 +156,7 @@ def _walk_contrib_chunked(g, om, w, next_key, alpha, no_zero_hop):
             ))
             if total > 0:
                 out = out + _walk_contrib_rows(
-                    g, om, w, next_key(), alpha, _pow2_bucket(total), hb,
+                    g, om, w, next_key(), alpha, _walk_cap(g, total), hb,
                     no_zero_hop, jnp.int32(lo), jnp.int32(hi),
                     jnp.int32(passes), jnp.int32(j),
                 )
