@@ -39,7 +39,7 @@ class PPRService:
                  hub_split: int | None = None, hub_dtype=None,
                  calibrate: bool = False, mesh=None,
                  precomputed: tuple | None = None,
-                 early_exit: bool = False):
+                 early_exit: bool = False, mesh_engine: str = "edge"):
         """``hub_split=H`` enables the dense-hub hybrid SpMV with H hubs in
         the FORA serving kernels (bf16 hub matrix unless ``hub_dtype``
         overrides — the measured-fastest serving config on power-law
@@ -54,7 +54,9 @@ class PPRService:
         query mode (Base_Whole_Graph.java:167-186) as a service.
         ``early_exit=True`` enables the top-k set-stability fast exit in
         the annealed serving loop (ids exact, values lower bounds — see
-        annealed_topk_propagate)."""
+        annealed_topk_propagate). ``mesh_engine`` picks the mesh layout:
+        "edge" (throughput; node state replicated) or "node" (O(n/S)
+        memory per device via the ring-exchange engine)."""
         self.dataset = dataset
         self.eps = eps
         self.k = k
@@ -79,10 +81,23 @@ class PPRService:
             self._topk_algo = self._wg_algo = base
             return
         if mesh is not None and algorithm == AlgoType.FORA_TOPK:
-            from .parallel.sharded_fora import ShardedForaTopk
+            if mesh_engine == "node":
+                # O(n/S)-memory engine: node dimension PARTITIONED over the
+                # 'graph' axis (graphs beyond one device's HBM)
+                from .parallel.node_sharded_fora import NodeShardedForaTopk
 
-            self._topk_algo = ShardedForaTopk(dataset, alpha=alpha, k=k,
-                                              mesh=mesh)
+                self._topk_algo = NodeShardedForaTopk(dataset, alpha=alpha,
+                                                      k=k, mesh=mesh)
+            elif mesh_engine == "edge":
+                from .parallel.sharded_fora import ShardedForaTopk
+
+                self._topk_algo = ShardedForaTopk(dataset, alpha=alpha, k=k,
+                                                  mesh=mesh)
+            else:
+                raise ValueError(
+                    f"mesh_engine must be 'edge' or 'node', got "
+                    f"{mesh_engine!r}"
+                )
         else:
             self._topk_algo = conf.new_algo_obj(algorithm, dataset, k)
         if early_exit:

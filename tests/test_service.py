@@ -172,3 +172,18 @@ def test_service_hub_split_weighted_raises():
     ds = Dataset(graph=g, names=[str(i) for i in range(n)], name="w")
     with pytest.raises(ValueError, match="hub_split"):
         PPRService.from_dataset(ds, hub_split=8)
+
+
+def test_service_node_sharded_mesh_engine(got):
+    """mesh_engine='node' serves through the O(n/S) ring engine and agrees
+    with the single-device service."""
+    from ppr_tpu.parallel.sharded import make_mesh
+    from ppr_tpu.service import PPRService
+
+    mesh = make_mesh(8)
+    svc_node = PPRService.from_dataset(got, mesh=mesh, mesh_engine="node")
+    svc_single = PPRService.from_dataset(got)
+    for src in (3, 14):
+        a = {h.node for h in svc_node.top_k([src])[0]}
+        b = {h.node for h in svc_single.top_k([src])[0]}
+        assert a == b
