@@ -51,13 +51,28 @@ def measure(g: Graph, *, alpha: float = 0.15, walkers: int = 1 << 16,
     jax.block_until_ready(out)
     spmv_ns_per_edge = (time.perf_counter() - t0) / reps / max(g.m, 1) * 1e9
 
-    return walk_ns, spmv_ns_per_edge, True
+    # device->host transfer rate: sized so the sample stays ~100 ms even on
+    # the ~22 MB/s tunneled link; prices the preprocessing compaction
+    # transfer in the completion choice (_ForaCostModel._use_spmv)
+    probe = out[: min(batch, 8)]
+    nbytes = probe.size * 4
+    np.asarray(probe)                                  # warm the path
+    t0 = time.perf_counter()
+    np.asarray(probe + 0)                              # uncached copy
+    d2h_bytes_per_s = nbytes / max(time.perf_counter() - t0, 1e-9)
+
+    return walk_ns, spmv_ns_per_edge, True, d2h_bytes_per_s
 
 
 def apply(algo, constants) -> None:
-    """Install measured constants on a FORA algorithm instance."""
+    """Install measured constants on a FORA algorithm instance.
+
+    Accepts both the 3-tuple (walk, spmv, amortized) and the 4-tuple that
+    adds the measured device->host rate."""
     (
         algo.avg_rand_walk_time_ns,
         algo.spmv_ns_per_edge,
         algo.spmv_batch_amortized,
-    ) = constants
+    ) = constants[:3]
+    if len(constants) > 3:
+        algo.d2h_bytes_per_s = constants[3]
