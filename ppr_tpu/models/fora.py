@@ -93,8 +93,11 @@ _WALK_CAP_HIGH_WATER: dict = {}
 
 
 def _walk_cap(g, total: int) -> int:
+    import os
+
     key = (g.n_pad, int(g.edge_src.shape[0]), g.weighted)
-    cap = max(_pow2_bucket(total), _WALK_CAP_HIGH_WATER.get(key, 0))
+    floor = int(os.environ.get("PPR_TPU_WALK_CAP_FLOOR", "0"))
+    cap = max(_pow2_bucket(total), _WALK_CAP_HIGH_WATER.get(key, 0), floor)
     _WALK_CAP_HIGH_WATER[key] = cap
     return cap
 

@@ -24,6 +24,12 @@ for algo in NEO4J_METHOD FORA_WHOLE_GRAPH MC FWDPUSH BASE_WHOLE_GRAPH; do
   extra=()
   if [ "$algo" = FORA_WHOLE_GRAPH ]; then
     extra=(--fora-completion walks)
+    # pin the walk-pool bucket above every batch's walker total: without a
+    # floor each pow2 crossing mints a new XLA program and the degraded
+    # remote-compile phases stall the sweep for tens of minutes per shape
+    export PPR_TPU_WALK_CAP_FLOOR=2097152
+  else
+    unset PPR_TPU_WALK_CAP_FLOOR
   fi
   for attempt in 1 2 3 4 5; do
     echo "=== amazon prep $algo attempt $attempt ($(date -u +%H:%M:%S)) ==="
