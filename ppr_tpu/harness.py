@@ -238,10 +238,15 @@ class PerfHarness:
         prep_ms = prep_bytes = None
         needs_prep = to_be_preprocessed or algo_type == AlgoType.BASE_WHOLE_GRAPH
         if needs_prep:
-            if self.warmup and hasattr(algo, "warm_preprocessing"):
+            pending = getattr(algo, "_prep_pending", None)
+            if self.warmup and hasattr(algo, "warm_preprocessing") and (
+                algo_type == AlgoType.BASE_WHOLE_GRAPH
+                or pending is None or pending(param)
+            ):
                 # compile-warm the prep programs untimed (mirrors the query
                 # warmup below): first-param prep rows used to be
-                # compile-dominated (VERDICT r2 weak item 5)
+                # compile-dominated (VERDICT r2 weak item 5); a store that
+                # fully resumes does no device work, so no warm either
                 if algo_type == AlgoType.BASE_WHOLE_GRAPH:
                     algo.warm_preprocessing(
                         threshold, k if test_type == TestType.TOPK else -1

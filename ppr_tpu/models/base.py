@@ -122,10 +122,30 @@ class PreprocessingMixin:
         root = os.path.join(self.prep_dirname, self.dataset.name, str(param))
         return PPRStore(root, n=self.graph.n_pad)
 
+    def _prep_batch(self, param, batch_size: int = 128) -> int:
+        """The source-batch height the sweep will actually use (algorithms
+        with per-call walker budgets clamp it — e.g. MonteCarlo); the warm
+        pass and the resume check must agree with it."""
+        return batch_size
+
+    def _prep_pending(self, param, batch_size: int = 128) -> bool:
+        """True when preprocessing(param) would do device work: the store is
+        finalized (reference semantics re-preprocess from scratch — reset()
+        wipes it) or some batch shard is missing. The harness skips the
+        compile warm-up for fully resumable stores."""
+        store = self.make_store(param)
+        if store._read_manifest().get("finalized"):
+            return True
+        bs = self._prep_batch(param, batch_size)
+        return any(
+            not store.has_batch(s) for s in range(0, self.graph.n, bs)
+        )
+
     def preprocessing(self, threshold, param, *, batch_size: int = 128,
                       progress: bool = True) -> None:
         from ..utils.report import progress_printer
 
+        batch_size = self._prep_batch(param, batch_size)
         store = self.make_store(param)
         store.reset()
         n = self.graph.n
@@ -181,7 +201,7 @@ class PreprocessingMixin:
         compile-dominated (e.g. got 1.5 BASE 10,803 ms vs ~34 ms warm); the
         harness calls this untimed first (mirroring its query warmup)."""
         n = self.graph.n
-        sources = np.arange(min(batch_size, n))
+        sources = np.arange(min(self._prep_batch(param, batch_size), n))
         compute_dev = getattr(self, "compute_whole_graph_device", None)
         self._in_preprocessing = True   # warm the PREP-mode program choice
         try:

@@ -111,11 +111,7 @@ class MonteCarlo(PreprocessingMixin, PPRAlgorithm):
             )
         return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
 
-    def preprocessing(self, threshold, param, *, batch_size: int = 128,
-                      progress: bool = True) -> None:
-        # clamp so the device path is always single-chunk (memory budget)
-        super().preprocessing(
-            threshold, param,
-            batch_size=min(batch_size, self._source_chunk(param)),
-            progress=progress,
-        )
+    def _prep_batch(self, param, batch_size: int = 128) -> int:
+        # clamp so the device path is always single-chunk (memory budget);
+        # the mixin's preprocessing / warm / resume checks all route here
+        return min(batch_size, self._source_chunk(param))

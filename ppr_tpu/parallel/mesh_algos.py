@@ -365,6 +365,7 @@ class MeshForaWholeGraph(ForaWholeGraph):
                          max_push_rounds=max_push_rounds, completion="spmv")
         self.mesh = mesh
         self._kern = _EdgeShardedKernels(mesh, self.graph, alpha)
+        self._push_warmed = False
 
     def compute_whole_graph_device(self, sources: np.ndarray, param):
         import time
@@ -382,6 +383,14 @@ class MeshForaWholeGraph(ForaWholeGraph):
 
         _, p_t, r_t, onehot_t = self._kern.prepare(sources_p,
                                                    init_shortcircuit=True)
+        # untimed warmup: the first push call's jit compile (minutes on a
+        # cold remote cache) must never pollute the push/completion balance
+        # — same guard as the single-device engine's _WARMED_PUSH_SHAPES
+        if not self._push_warmed:
+            jax.block_until_ready(
+                self._kern.push(p_t, r_t, onehot_t, rmax)
+            )
+            self._push_warmed = True
         # adaptive push rounds on the same wall-clock balance as the
         # single-device engine (Fora_Whole_Graph.java:93-103)
         rsum_local, push_ns, rounds = 1.0, 0.0, 0
@@ -421,6 +430,16 @@ class MeshMonteCarlo(MonteCarlo):
                  max_walk_batch: int = 4_000_000):
         super().__init__(dataset, alpha, delta=delta, pfail=pfail, seed=seed,
                          max_walk_batch=max_walk_batch)
+        if dataset.graph.weighted:
+            # the sharded walker grid samples uniform neighbors only; the
+            # single-device engine's alias tables (ops/walk.py) and the
+            # node-sharded rotating-adjacency kernel DO support weights —
+            # silently downgrading the sampling law would corrupt results
+            raise NotImplementedError(
+                "MeshMonteCarlo does not support weighted graphs (uniform "
+                "neighbor sampling only) — use the single-device "
+                "MonteCarlo or the node-sharded walk kernel"
+            )
         self.mesh = mesh
         self.mesh_shape = dict(zip(mesh.axis_names, mesh.devices.shape))
         self._gs = shard_graph(self.graph, mesh)
@@ -433,24 +452,33 @@ class MeshMonteCarlo(MonteCarlo):
         sources_p, _ = _pad_rows(sources, self.mesh_shape["data"])
         b = len(sources_p)
         unit = self.mesh_shape["graph"]
-        # per-row walker lanes: omega padded to a pow2 multiple of the graph
-        # axis (zero-weight pad walkers), one program per (B, W) bucket
-        w_pad = max(unit, 1 << max(4, math.ceil(math.log2(max(omega, 1)))))
         sources_j = jnp.asarray(sources_p, jnp.int32)
-        starts = jax.device_put(
-            jnp.broadcast_to(sources_j[:, None], (b, w_pad)),
-            self._walker_spec,
-        )
-        lane = jnp.arange(w_pad, dtype=jnp.int32)[None, :]
-        weights = jax.device_put(
-            jnp.broadcast_to(
-                jnp.where(lane < omega, 1.0 / omega, 0.0), (b, w_pad)
-            ).astype(jnp.float32),
-            self._walker_spec,
-        )
         gs = self._gs
-        return self._walk(gs.indptr, gs.indices, gs.out_deg, starts,
-                          weights, self.next_key())
+        # lane budget: the single-device engine caps each dispatch at
+        # max_walk_batch walkers; the padded [b, w] grid must respect the
+        # same budget, so big omegas run in lane PASSES (pass j covers
+        # lanes [j*w_pad, (j+1)*w_pad); weights mask lanes >= omega)
+        w_cap = max(unit, self.max_walk_batch // max(b, 1))
+        w_pad = max(unit, 1 << max(4, math.ceil(math.log2(
+            max(min(omega, w_cap), 1)
+        ))))
+        counts = None
+        for lane0 in range(0, omega, w_pad):
+            starts = jax.device_put(
+                jnp.broadcast_to(sources_j[:, None], (b, w_pad)),
+                self._walker_spec,
+            )
+            lane = lane0 + jnp.arange(w_pad, dtype=jnp.int32)[None, :]
+            weights = jax.device_put(
+                jnp.broadcast_to(
+                    jnp.where(lane < omega, 1.0 / omega, 0.0), (b, w_pad)
+                ).astype(jnp.float32),
+                self._walker_spec,
+            )
+            c = self._walk(gs.indptr, gs.indices, gs.out_deg, starts,
+                           weights, self.next_key())
+            counts = c if counts is None else counts + c
+        return counts
 
     def compute_whole_graph_batch(self, sources: np.ndarray,
                                   param) -> np.ndarray:

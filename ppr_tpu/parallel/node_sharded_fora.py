@@ -342,7 +342,9 @@ class NodeShardedForaTopk:
     def final_state_shard_shape(self, batch: int) -> tuple[int, int]:
         """The per-device reserve shard shape — O(B/data, n/S) by design;
         tests assert it against the addressable shards of a live result."""
-        return (max(8, batch) // self._mesh_shape["data"], self.n_local)
+        unit = self._mesh_shape["data"]
+        b_pad = ((max(8, batch) + unit - 1) // unit) * unit
+        return (b_pad // unit, self.n_local)
 
 
 # --------------------------------------------------------------------------
@@ -358,7 +360,10 @@ def make_node_sharded_walk_totals(mesh: Mesh, g: Graph, alpha: float):
 
     def local(r_l, omega):
         r1 = (1.0 - alpha_f) * r_l
-        om = jnp.where(r1 > 0, jnp.ceil(r1 * omega), 0.0).astype(jnp.int32)
+        om = jnp.where(r1 > 0, jnp.ceil(r1 * omega), 0.0)
+        # float32 total: a sizing estimate only (per-device totals can pass
+        # 2^31 before the push phase has shrunk the residue — int32 would
+        # silently wrap and collapse the pool)
         return jnp.sum(om).reshape(1, 1)
 
     mapped = jax.shard_map(
@@ -645,19 +650,30 @@ class NodeShardedForaWholeGraph:
             out = np.asarray(p_l)
         else:
             # push until the residual walk count fits the per-device pool:
-            # total walks ~ omega * rsum and rsum(t) = (1-alpha)^t exactly
+            # EVERY row spawns ~omega * rsum walkers, so the budget must be
+            # divided by the batch height; rsum(t) = (1-alpha)^t exactly.
+            # 0.5 margin absorbs per-shard skew + the +1/ceil per entry.
             budget = self.max_walkers_per_device * math.prod(
                 self.mesh.devices.shape
             )
-            iters = max(1, self._iters_to(1.0, min(1.0, budget / omega)))
+            rsum_target = min(1.0, 0.5 * budget / (omega * b_pad))
+            iters = max(1, self._iters_to(1.0, rsum_target))
             p_l, r_l = self._run_ring(p_l, r_l, onehot_l, iters)
             if self._totals is None:
                 self._totals = make_node_sharded_walk_totals(
                     self.mesh, self.graph, self.alpha
                 )
             per_dev = np.asarray(self._totals(r_l, jnp.float32(omega)))
-            cap = _pow2(int(per_dev.max()))
-            if cap > self.max_walkers_per_device:
+            # measured backstop: if skew still blows the per-device pool,
+            # run a few more ring sweeps (each shrinks every count by
+            # (1-alpha)) instead of failing
+            for _ in range(64):
+                cap = _pow2(int(per_dev.max() * 1.05) + 1)
+                if cap <= self.max_walkers_per_device:
+                    break
+                p_l, r_l = self._run_ring(p_l, r_l, onehot_l, 4)
+                per_dev = np.asarray(self._totals(r_l, jnp.float32(omega)))
+            else:
                 raise ValueError(
                     f"walks-mode pool {cap} exceeds the per-device budget; "
                     "raise max_walkers_per_device or use completion='spmv'"

@@ -102,9 +102,11 @@ class PPRService:
             self._topk_algo = conf.new_algo_obj(algorithm, dataset, k)
         if early_exit:
             if not hasattr(self._topk_algo, "early_exit"):
+                what = ("the mesh engines" if mesh is not None
+                        else str(algorithm))
                 raise ValueError(
-                    f"early_exit is only supported by the FORA top-k "
-                    f"serving engine, not {algorithm}"
+                    f"early_exit is only supported by the single-device "
+                    f"FORA top-k serving engine, not {what}"
                 )
             self._topk_algo.early_exit = True
         self._wg_algo = conf.new_algo_obj(

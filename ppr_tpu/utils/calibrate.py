@@ -53,12 +53,18 @@ def measure(g: Graph, *, alpha: float = 0.15, walkers: int = 1 << 16,
 
     # device->host transfer rate: sized so the sample stays ~100 ms even on
     # the ~22 MB/s tunneled link; prices the preprocessing compaction
-    # transfer in the completion choice (_ForaCostModel._use_spmv)
-    probe = out[: min(batch, 8)]
+    # transfer in the completion choice (_ForaCostModel._use_spmv).
+    # Two DISTINCT device slices (jax caches a converted array's host value,
+    # so re-reading the same one is free): both are materialized and any
+    # slice-op compile paid BEFORE the timed read, which then measures the
+    # device->host copy alone.
+    h = min(batch, 8)
+    warm_probe, probe = out[:h], out[h:2 * h]
+    jax.block_until_ready((warm_probe, probe))
+    np.asarray(warm_probe)                             # warm the path
     nbytes = probe.size * 4
-    np.asarray(probe)                                  # warm the path
     t0 = time.perf_counter()
-    np.asarray(probe + 0)                              # uncached copy
+    np.asarray(probe)
     d2h_bytes_per_s = nbytes / max(time.perf_counter() - t0, 1e-9)
 
     return walk_ns, spmv_ns_per_edge, True, d2h_bytes_per_s

@@ -11,7 +11,9 @@ cd /root/repo
 export PYTHONPATH="/root/.axon_site:${PYTHONPATH:-}"
 STAMP="results/amazon_prep_done"
 mkdir -p "$STAMP"
-for algo in NEO4J_METHOD FORA_WHOLE_GRAPH MC FWDPUSH BASE_WHOLE_GRAPH; do
+# cheapest-first so sections bank early (FORA's 262k-source walk sweep is
+# the long pole; its store resumes whenever it runs)
+for algo in NEO4J_METHOD MC BASE_WHOLE_GRAPH FWDPUSH FORA_WHOLE_GRAPH; do
   if [ -e "$STAMP/$algo" ]; then
     echo "=== $algo already complete, skipping ==="
     continue

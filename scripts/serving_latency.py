@@ -100,6 +100,8 @@ def run_daemon_mode(args) -> int:
         cmd += ["--hub-split", str(args.hub_split)]
     if getattr(args, "early_exit", False):
         cmd += ["--early-exit"]
+    if getattr(args, "calibrate", False):
+        cmd += ["--calibrate"]
     if args.slo_ms:
         cmd += ["--slo-ms", str(args.slo_ms)]
     env = dict(os.environ)
