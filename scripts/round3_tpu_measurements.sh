@@ -51,6 +51,11 @@ echo "rc=$?"
 tail -6 /tmp/mesh_out/amazon_AlgoPerfResults.txt \
   >> results/amazon_mesh_neo4j.log 2>/dev/null
 
+log "phase E: got protocol re-run (warm prep rows land this round)"
+timeout 3600 python -m ppr_tpu.cli --db /root/reference/dataset/got \
+  --query 50 --k 10 --out-dir results > results/got_rerun_r3.log 2>&1
+echo "rc=$?"
+
 log "phase D: headline bench"
 timeout 5400 python bench.py > results/bench_r3_headline.json 2> results/bench_r3.log
 echo "rc=$?"
