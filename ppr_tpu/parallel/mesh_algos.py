@@ -430,20 +430,14 @@ class MeshMonteCarlo(MonteCarlo):
                  max_walk_batch: int = 4_000_000):
         super().__init__(dataset, alpha, delta=delta, pfail=pfail, seed=seed,
                          max_walk_batch=max_walk_batch)
-        if dataset.graph.weighted:
-            # the sharded walker grid samples uniform neighbors only; the
-            # single-device engine's alias tables (ops/walk.py) and the
-            # node-sharded rotating-adjacency kernel DO support weights —
-            # silently downgrading the sampling law would corrupt results
-            raise NotImplementedError(
-                "MeshMonteCarlo does not support weighted graphs (uniform "
-                "neighbor sampling only) — use the single-device "
-                "MonteCarlo or the node-sharded walk kernel"
-            )
         self.mesh = mesh
         self.mesh_shape = dict(zip(mesh.axis_names, mesh.devices.shape))
         self._gs = shard_graph(self.graph, mesh)
-        self._walk = make_sharded_walk_counts(mesh, self.alpha)
+        # weighted graphs use the alias-table kernel variant — the same
+        # exact weight-proportional law as the single-device engine
+        self._walk = make_sharded_walk_counts(
+            mesh, self.alpha, weighted=self.graph.weighted
+        )
         self._walker_spec = NamedSharding(mesh, P("data", "graph"))
 
     def compute_whole_graph_device(self, sources: np.ndarray, param):
@@ -475,8 +469,13 @@ class MeshMonteCarlo(MonteCarlo):
                 ).astype(jnp.float32),
                 self._walker_spec,
             )
-            c = self._walk(gs.indptr, gs.indices, gs.out_deg, starts,
-                           weights, self.next_key())
+            if self.graph.weighted:
+                c = self._walk(gs.indptr, gs.indices, gs.alias_prob,
+                               gs.alias_other, gs.out_deg, starts, weights,
+                               self.next_key())
+            else:
+                c = self._walk(gs.indptr, gs.indices, gs.out_deg, starts,
+                               weights, self.next_key())
             counts = c if counts is None else counts + c
         return counts
 

@@ -175,11 +175,20 @@ def make_sharded_push_sweeps(mesh: Mesh, alpha: float, num_sweeps: int,
     return jax.jit(mapped)
 
 
-def make_sharded_walk_counts(mesh: Mesh, alpha: float, max_steps: int = 128):
+def make_sharded_walk_counts(mesh: Mesh, alpha: float, max_steps: int = 128,
+                             weighted: bool = False):
     """jit-compiled: advance a [B, W] walker grid (rows sharded over 'data',
-    walkers over 'graph'), psum weighted stop counts into [B, n_pad]."""
+    walkers over 'graph'), psum weighted stop counts into [B, n_pad].
 
-    def local(indptr, indices, out_deg, starts, weights, keys):
+    ``weighted=True`` adds Walker alias-table sampling (the single-device
+    kernel's law, ops/walk._uniform_neighbor): the uniform draw picks a CSR
+    slot, a second uniform accepts it with ``alias_prob[slot]`` or
+    redirects to ``alias_other[slot]`` — exact weight-proportional
+    transitions; the call then takes ``(indptr, indices, alias_prob,
+    alias_other, out_deg, starts, weights, key)``."""
+
+    def local(indptr, indices, alias_prob, alias_other, out_deg, starts,
+              weights, keys):
         # starts/weights: [B_local, W_local]; keys: [1, 1, 2] uint32 material
         n_pad = out_deg.shape[0]
         b, w = starts.shape
@@ -203,6 +212,11 @@ def make_sharded_walk_counts(mesh: Mesh, alpha: float, max_steps: int = 128):
             pick = jnp.minimum((u * deg.astype(jnp.float32)).astype(jnp.int32),
                                deg - 1)
             idx = jnp.take(indptr, cur) + jnp.maximum(pick, 0)
+            if weighted:
+                k, k_acc = jax.random.split(k)
+                u2 = jax.random.uniform(k_acc, flat_starts.shape)
+                accept = u2 < jnp.take(alias_prob, idx)
+                idx = jnp.where(accept, idx, jnp.take(alias_other, idx))
             nxt = jnp.take(indices, idx)
             nxt = jnp.where(deg > 0, nxt, flat_starts)
             cur = jnp.where(active & ~stop_now, nxt, cur)
@@ -217,11 +231,21 @@ def make_sharded_walk_counts(mesh: Mesh, alpha: float, max_steps: int = 128):
         counts = counts.at[rows, stops.reshape(-1)].add(weights.reshape(-1))
         return jax.lax.psum(counts, "graph")
 
+    if weighted:
+        fn = local
+        csr_specs = (P(), P(), P(), P())
+    else:
+        def fn(indptr, indices, out_deg, starts, weights, keys):
+            return local(indptr, indices, None, None, out_deg, starts,
+                         weights, keys)
+
+        csr_specs = (P(), P())
+
     mapped = jax.shard_map(
-        local,
+        fn,
         mesh=mesh,
-        in_specs=(
-            P(), P(), P(),                         # CSR (replicated)
+        in_specs=csr_specs + (
+            P(),                                   # out_deg (replicated)
             P("data", "graph"), P("data", "graph"),  # walkers
             P("data", "graph"),                     # per-device key material
         ),
@@ -230,11 +254,18 @@ def make_sharded_walk_counts(mesh: Mesh, alpha: float, max_steps: int = 128):
     )
     jitted = jax.jit(mapped)
 
-    def call(indptr, indices, out_deg, starts, weights, key):
+    def call(indptr, indices, *rest):
         mesh_shape = dict(zip(mesh.axis_names, mesh.devices.shape))
+        if weighted:
+            alias_prob, alias_other, out_deg, starts, weights, key = rest
+        else:
+            out_deg, starts, weights, key = rest
         keys = jax.random.key_data(
             jax.random.split(key, mesh_shape["data"] * mesh_shape["graph"])
         ).reshape(mesh_shape["data"], mesh_shape["graph"], -1)
+        if weighted:
+            return jitted(indptr, indices, alias_prob, alias_other, out_deg,
+                          starts, weights, keys)
         return jitted(indptr, indices, out_deg, starts, weights, keys)
 
     return call

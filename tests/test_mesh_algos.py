@@ -117,3 +117,42 @@ def test_harness_runs_on_mesh(tmp_path):
         os.chdir(cwd)
     out = tmp_path / f"{ds.name}_AlgoPerfResults.txt"
     assert out.exists() and len(out.read_text().strip().splitlines()) >= 2
+
+
+def test_mesh_monte_carlo_weighted_statistical(mesh):
+    """Weighted MC on the mesh uses the alias-table law: statistical
+    agreement with the weighted exact oracle (uniform sampling would
+    diverge visibly on a strongly skewed weight distribution)."""
+    from ppr_tpu.graph.csr import build_graph
+    from ppr_tpu.graph.io import Dataset
+
+    rng = np.random.default_rng(9)
+    n, m = 512, 4096
+    src = rng.integers(0, n, size=m)
+    dst = rng.integers(0, n, size=m)
+    w = rng.uniform(0.05, 8.0, size=m)
+    g = build_graph(src, dst, n=n, weights=w, dense_threshold=0)
+    ds = Dataset(graph=g, names=[str(i) for i in range(n)], name="wmc")
+
+    # weighted exact oracle (dense numpy, dangling-to-source)
+    P = np.zeros((n, n))
+    np.add.at(P, (src, dst), w)
+    row = P.sum(axis=1)
+    dangling = row == 0
+    P[~dangling] /= row[~dangling][:, None]
+    sources = np.array([3, 50, 200], np.int32)
+    exact = np.zeros((3, g.n_pad))
+    for i, s in enumerate(sources):
+        p = np.zeros(n); r = np.zeros(n); r[s] = 1.0
+        for _ in range(200):
+            p += 0.15 * r
+            rem = 0.85 * r
+            dm = rem[dangling].sum()
+            r = rem @ P
+            r[s] += dm
+        exact[i, :n] = p
+
+    mc = MeshMonteCarlo(ds, 0.15, mesh=mesh, seed=4)
+    out = mc.compute_whole_graph_batch(sources, 0.5)
+    np.testing.assert_allclose(out.sum(axis=1), 1.0, atol=1e-3)
+    assert np.abs(out - exact).max() < 0.05
