@@ -13,12 +13,6 @@ timeout 1800 python scripts/probe_mosaic_gather.py \
   > results/mosaic_probe_r3.log 2>&1
 echo "rc=$?"
 
-log "phase B1: serving latency, static cap (round-2 protocol re-run)"
-timeout 3600 python scripts/serving_latency.py --db "$DB" \
-  --rates 0.25,0.5,0.8 --duration-s 30 \
-  --out results/serving_latency_r3_base.json > results/sl_r3_base.log 2>&1
-echo "rc=$?"
-
 log "phase B2: serving latency, hub-split bf16 (per-sweep cost lever)"
 timeout 3600 python scripts/serving_latency.py --db "$DB" \
   --rates 0.25,0.5,0.8 --duration-s 30 --hub-split 8192 \
@@ -27,7 +21,7 @@ echo "rc=$?"
 
 log "phase B3: early-exit certificate (expected negative; confirm on TPU)"
 timeout 3600 python scripts/serving_latency.py --db "$DB" \
-  --rates 0.25 --duration-s 30 --hub-split 8192 --early-exit \
+  --rates 0.25 --duration-s 20 --hub-split 8192 --early-exit \
   --out results/serving_latency_r3_early.json > results/sl_r3_early.log 2>&1
 echo "rc=$?"
 
