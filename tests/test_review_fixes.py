@@ -88,3 +88,44 @@ def test_native_long_line_handling(tmp_path):
     src, dst = parsed
     assert list(src) == [0, 1]
     assert list(dst) == [1, 2]
+
+
+def test_final_state_shard_shape_rounds_up():
+    """Round-3 review fix: the shard-shape helper mirrors _pad_batch's
+    round-up to a multiple of the data axis."""
+    from ppr_tpu.graph.io import synthetic_powerlaw
+    from ppr_tpu.parallel.sharded import make_mesh
+    from ppr_tpu.parallel.node_sharded_fora import NodeShardedForaTopk
+
+    ds = synthetic_powerlaw(512, 4, seed=3, dense_threshold=0)
+    eng = NodeShardedForaTopk(ds, mesh=make_mesh(8, data=4, graph=2))
+    n_local = ds.graph.n_pad // 2
+    assert eng.final_state_shard_shape(10) == (3, n_local)   # 10 -> 12 rows
+    assert eng.final_state_shard_shape(8) == (2, n_local)
+    assert eng.final_state_shard_shape(1) == (2, n_local)    # min 8 rows
+
+
+def test_prep_pending_and_batch_clamp(tmp_path, monkeypatch):
+    """Round-3 review fixes: MC's walker-budget batch clamp routes through
+    _prep_batch (warm/resume agree with the sweep), and _prep_pending is
+    False only for an unfinalized store with every shard present."""
+    import os
+
+    from ppr_tpu.graph.io import synthetic_powerlaw
+    from ppr_tpu.models import AlgoConf, AlgoType
+
+    monkeypatch.chdir(tmp_path)
+    ds = synthetic_powerlaw(256, 4, seed=2, dense_threshold=0)
+    mc = AlgoConf(0.15).new_algo_obj(AlgoType.MC, ds, 10)
+    mc.max_walk_batch = 4096          # force a tight clamp
+    eps = 1.0
+    bs = mc._prep_batch(eps, 128)
+    assert bs == mc._source_chunk(eps) < 128
+    assert mc._prep_pending(eps)                       # nothing on disk yet
+    mc.preprocessing(-1.0, eps, progress=False)
+    # finalized store: reference semantics re-preprocess -> still pending
+    assert mc._prep_pending(eps)
+    # unfinalized with all shards present: a resume does no device work
+    store = mc.make_store(eps)
+    os.remove(os.path.join(store.root, "manifest.json"))
+    assert not mc._prep_pending(eps)
