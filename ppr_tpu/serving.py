@@ -42,6 +42,14 @@ dispatch at a new width pays that compile; its service-time sample is
 taken on a second, warm dispatch (the EWMA skips cold-compile outliers by
 construction: compile times exceed the SLO and would otherwise wrongly
 shrink the cap, so the update ignores a width's first-ever sample).
+
+When even the fastest observed width breaches the SLO — the target sits
+below the service-time *intercept*, which no batch width can shrink — the
+policy flips to best-effort mode (``stats.slo_unattainable``): grow under
+backlog, shrink back toward ``min_batch`` when the queue clears. The
+naive alternative (keep the cap pinned at ``min_batch``) was measured on
+the real TPU to collapse capacity 68x while *raising* p50
+(results/serving_latency_slo800.json; PERF.md "SLO policy" section).
 """
 
 from __future__ import annotations
@@ -64,6 +72,10 @@ class ServerStats:
     latencies_ms: list = field(default_factory=list)
     #: (dispatch ordinal, new cap) every time the SLO policy moves the cap
     cap_moves: list = field(default_factory=list)
+    #: set when the SLO policy observed that even the fastest dispatched
+    #: width breaches the SLO (target below the service-time intercept);
+    #: the policy is in best-effort mode from that point on.
+    slo_unattainable: bool = False
     #: cap on retained per-request samples; a long-running daemon would
     #: otherwise grow without bound (~49M floats/day at the measured qps)
     max_latency_samples: int = 1_000_000
@@ -214,7 +226,25 @@ class PPRBatchServer:
         self._svc_time_ms[width] = t
         cap = self._slo_cap
         lo = _pow2_bucket(self.min_batch)
-        if 2.0 * t > self.slo_ms and cap > lo:
+        t_best = min(self._svc_time_ms.values())
+        if 2.0 * t_best > self.slo_ms:
+            # Even the fastest observed width breaches the SLO: the target
+            # sits below the service-time intercept, so NO width can meet
+            # it (t is affine in width). Round-3 TPU measurement: pinning
+            # the cap at min_batch here collapsed capacity 68x (4.5 vs
+            # 304 qps) while p50 *rose* to 2.0-2.5 s
+            # (results/serving_latency_slo800.json) — narrower batches
+            # multiply dispatch count without touching the intercept.
+            # Best-effort instead: grow under backlog (amortize the
+            # intercept, stabilize the queue), shrink back toward
+            # min_batch when the queue clears (the narrowest batch is the
+            # latency-optimal width).
+            self.stats.slo_unattainable = True
+            if backlog and cap < self.max_batch:
+                self._slo_cap = cap * 2
+            elif not backlog and cap > lo:
+                self._slo_cap = max(lo, cap // 2)
+        elif 2.0 * t > self.slo_ms and cap > lo:
             self._slo_cap = max(lo, cap // 2)
         elif backlog and cap < self.max_batch:
             up = self._svc_time_ms.get(cap * 2)

@@ -298,6 +298,7 @@ def main(argv=None) -> int:
     if args.slo_ms:
         out["slo_ms"] = args.slo_ms
         out["final_dispatch_cap"] = server._cap()
+        out["slo_unattainable"] = server.stats.slo_unattainable
         out["cap_moves"] = server.stats.cap_moves
     Path(args.out).parent.mkdir(parents=True, exist_ok=True)
     Path(args.out).write_text(json.dumps(out, indent=1) + "\n")

@@ -210,17 +210,45 @@ def _flood(server, n, spacing_s=0.0):
     return futs
 
 
-def test_slo_cap_shrinks_on_breach():
-    """Service too slow for the SLO at the starting rung => the cap walks
-    down to min_batch and stays there (multiplicative decrease)."""
+def test_slo_unattainable_grows_under_backlog():
+    """SLO below the service-time intercept => no width can meet it; the
+    policy must flip to best-effort (throughput) mode and GROW under
+    backlog instead of pinning the cap at min_batch. (Pinning was the
+    round-3 measured pathology: 68x capacity collapse with a worse p50 —
+    results/serving_latency_slo800.json.)"""
     svc = TimedFakeService(base_ms=5.0, per_row_ms=5.0)  # t(8) = 45ms
     with PPRBatchServer(svc, max_batch=256, slo_ms=20.0, min_batch=8,
                         bucket=True) as server:
-        _flood(server, 200)
-        cap = server._cap()
-    assert cap == 8  # floor: 2*t(8) = 90ms > 20ms but can't shrink below lo
-    # the policy never grew despite constant backlog
-    assert all(c <= 8 for _, c in server.stats.cap_moves)
+        _flood(server, 600)
+        grew = any(c > 8 for _, c in server.stats.cap_moves)
+    assert server.stats.slo_unattainable
+    assert grew  # best-effort mode climbed the ladder under backlog
+    assert max(svc.widths) > 8
+
+
+def test_slo_unattainable_shrinks_when_queue_clears():
+    """Best-effort mode is latency-optimal when idle: with no backlog the
+    cap walks back down toward min_batch (narrowest batch = smallest
+    service time when the SLO is unattainable anyway)."""
+    svc = TimedFakeService(base_ms=5.0, per_row_ms=5.0)
+    server = PPRBatchServer(svc, max_batch=256, slo_ms=20.0, min_batch=8,
+                            bucket=True)
+    try:
+        # warm sample at the min rung, then hand the policy trickle
+        # traffic: timed dispatches with no queue behind them.
+        server._slo_update(8, 45.0, backlog=True)   # cold (skipped)
+        server._slo_update(8, 45.0, backlog=True)   # warm -> unattainable
+        server._slo_cap = 64                        # as if a burst grew it
+        server._seen_width.update({16, 32, 64})
+        server._slo_update(64, 325.0, backlog=False)
+        assert server._slo_cap == 32
+        server._slo_update(32, 165.0, backlog=False)
+        assert server._slo_cap == 16
+        server._slo_update(16, 85.0, backlog=False)
+        assert server._slo_cap == 8
+    finally:
+        server.close()
+    assert server.stats.slo_unattainable
 
 
 def test_slo_cap_grows_under_backlog_within_slo():
