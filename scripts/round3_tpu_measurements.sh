@@ -41,6 +41,24 @@ if [ ! -s results/serving_latency_r3_early.json ]; then
   echo "rc=$?"
 fi
 
+if [ ! -s results/serving_latency_slo800_fixed.json ]; then
+  log "phase B4b: SLO 800 ms re-run with the best-effort fallback fix"
+  timeout 3600 python scripts/serving_latency.py --db "$DB" \
+    --rates 0.25,0.5,0.8 --duration-s 30 --hub-split 8192 --slo-ms 800 \
+    --out results/serving_latency_slo800_fixed.json \
+    > results/sl_slo800_fixed.log 2>&1
+  echo "rc=$?"
+fi
+
+if [ ! -s results/serving_latency_slo1500_fixed.json ]; then
+  log "phase B5b: SLO 1500 ms re-run with the best-effort fallback fix"
+  timeout 3600 python scripts/serving_latency.py --db "$DB" \
+    --rates 0.25,0.5,0.8 --duration-s 30 --hub-split 8192 --slo-ms 1500 \
+    --out results/serving_latency_slo1500_fixed.json \
+    > results/sl_slo1500_fixed.log 2>&1
+  echo "rc=$?"
+fi
+
 if [ ! -s results/got_rerun_r3.log ]; then
   log "phase E: got protocol re-run (warm prep rows land this round)"
   timeout 3600 python -m ppr_tpu.cli --db /root/reference/dataset/got \
