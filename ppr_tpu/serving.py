@@ -46,10 +46,15 @@ shrink the cap, so the update ignores a width's first-ever sample).
 When even the fastest observed width breaches the SLO — the target sits
 below the service-time *intercept*, which no batch width can shrink — the
 policy flips to best-effort mode (``stats.slo_unattainable``): grow under
-backlog, shrink back toward ``min_batch`` when the queue clears. The
-naive alternative (keep the cap pinned at ``min_batch``) was measured on
-the real TPU to collapse capacity 68x while *raising* p50
-(results/serving_latency_slo800.json; PERF.md "SLO policy" section).
+backlog, and when the queue clears jump to the sampled rung with the
+smallest warm service time (the latency-optimal width — on this backend
+that is usually the *widest* rung: t(8)=1.79 s vs t(256)=0.62 s, narrow
+batches idle the MXU while paying the same annealed sweep train). The
+naive alternatives were both measured on the real TPU: pinning the cap at
+``min_batch`` collapsed capacity 68x while raising p50
+(results/serving_latency_slo800.json), and shrink-one-rung-on-idle
+oscillated into 5.8 s p95 queue spikes
+(results/serving_latency_slo800_fixed.json; PERF.md "SLO policy").
 """
 
 from __future__ import annotations
@@ -242,8 +247,20 @@ class PPRBatchServer:
             self.stats.slo_unattainable = True
             if backlog and cap < self.max_batch:
                 self._slo_cap = cap * 2
-            elif not backlog and cap > lo:
-                self._slo_cap = max(lo, cap // 2)
+            elif not backlog:
+                # Latency-optimal rung: jump to the sampled width with the
+                # smallest warm service time (every sampled rung is already
+                # compiled, so a multi-rung jump costs nothing). A naive
+                # "shrink one rung on idle" oscillated in the round-3 TPU
+                # re-run — shrink => overload => queue spike => grow
+                # (p95 5.8 s, results/serving_latency_slo800_fixed.json) —
+                # and on this backend t(width) is measured *inverted*
+                # (t(8)=1.79 s > t(256)=0.62 s: narrow batches leave the
+                # MXU idle while paying the same annealed sweep train), so
+                # the latency-optimal width under an unattainable SLO is
+                # usually the widest sampled rung, not min_batch.
+                best = min(self._svc_time_ms, key=self._svc_time_ms.get)
+                self._slo_cap = min(max(best, lo), self.max_batch)
         elif 2.0 * t > self.slo_ms and cap > lo:
             self._slo_cap = max(lo, cap // 2)
         elif backlog and cap < self.max_batch:

@@ -226,26 +226,46 @@ def test_slo_unattainable_grows_under_backlog():
     assert max(svc.widths) > 8
 
 
-def test_slo_unattainable_shrinks_when_queue_clears():
+def test_slo_unattainable_jumps_to_fastest_rung_when_idle():
     """Best-effort mode is latency-optimal when idle: with no backlog the
-    cap walks back down toward min_batch (narrowest batch = smallest
-    service time when the SLO is unattainable anyway)."""
+    cap jumps to the sampled rung with the smallest warm service time.
+    With service time increasing in width (fake: t = 5 + 5*w) that is
+    min_batch; a one-rung-per-dispatch walk is NOT required (every
+    sampled rung is already compiled, so the jump is free — and the
+    round-3 TPU re-run showed one-rung idle shrinking oscillates into
+    queue spikes, results/serving_latency_slo800_fixed.json)."""
     svc = TimedFakeService(base_ms=5.0, per_row_ms=5.0)
     server = PPRBatchServer(svc, max_batch=256, slo_ms=20.0, min_batch=8,
                             bucket=True)
     try:
-        # warm sample at the min rung, then hand the policy trickle
-        # traffic: timed dispatches with no queue behind them.
+        # warm sample at the min rung, then hand the policy an idle
+        # dispatch at a burst-grown width.
         server._slo_update(8, 45.0, backlog=True)   # cold (skipped)
         server._slo_update(8, 45.0, backlog=True)   # warm -> unattainable
         server._slo_cap = 64                        # as if a burst grew it
         server._seen_width.update({16, 32, 64})
         server._slo_update(64, 325.0, backlog=False)
-        assert server._slo_cap == 32
-        server._slo_update(32, 165.0, backlog=False)
-        assert server._slo_cap == 16
-        server._slo_update(16, 85.0, backlog=False)
-        assert server._slo_cap == 8
+        assert server._slo_cap == 8                 # argmin t: straight home
+    finally:
+        server.close()
+    assert server.stats.slo_unattainable
+
+
+def test_slo_unattainable_idle_prefers_fast_wide_rung():
+    """On hardware where t(width) is flat or inverted (the measured TPU
+    case: t(8)=1.79 s > t(256)=0.62 s), the latency-optimal idle width is
+    the WIDE rung — the policy must not walk back to min_batch."""
+    server = PPRBatchServer(TimedFakeService(base_ms=1.0, per_row_ms=0.0),
+                            max_batch=256, slo_ms=200.0,
+                            min_batch=8, bucket=True)
+    try:
+        server.slo_ms = 200.0
+        for w, t in ((8, 1790.0), (64, 900.0), (256, 620.0)):
+            server._slo_update(w, t, backlog=True)  # cold (skipped)
+            server._slo_update(w, t, backlog=True)  # warm EWMA
+        server._slo_cap = 64
+        server._slo_update(64, 900.0, backlog=False)
+        assert server._slo_cap == 256
     finally:
         server.close()
     assert server.stats.slo_unattainable
