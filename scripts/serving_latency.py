@@ -32,7 +32,16 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
 def measure_capacity(server, sources, max_batch: int, reps: int = 3) -> float:
-    """Saturated throughput (qps) at the server's max batch, post-warmup."""
+    """Saturated throughput (qps) at the server's max batch, post-warmup.
+
+    In SLO mode the adaptive cap reacts to the flood (growing under the
+    backlog it creates); untimed settle floods run first so the timed reps
+    measure the policy's steady state, not a mid-growth transient.
+    """
+    settle = 3 if getattr(server, "slo_ms", None) else 0
+    for _ in range(settle):
+        for f in [server.submit(s) for s in sources[:max_batch]]:
+            f.result()
     t0 = time.perf_counter()
     done = 0
     for r in range(reps):
