@@ -81,6 +81,9 @@ class ServerStats:
     #: width breaches the SLO (target below the service-time intercept);
     #: the policy is in best-effort mode from that point on.
     slo_unattainable: bool = False
+    #: dispatches padded past their pow2 bucket because a wider rung's
+    #: warm EWMA was >=10% faster (the measured inverted-t(width) case)
+    widened_dispatches: int = 0
     #: cap on retained per-request samples; a long-running daemon would
     #: otherwise grow without bound (~49M floats/day at the measured qps)
     max_latency_samples: int = 1_000_000
@@ -124,13 +127,15 @@ class PPRBatchServer:
 
     def __init__(self, service, *, max_batch: int = 1024,
                  max_delay_ms: float = 0.0, bucket: bool = True,
-                 slo_ms: float | None = None, min_batch: int = 8):
+                 slo_ms: float | None = None, min_batch: int = 8,
+                 adaptive_width: bool = True):
         self._svc = service
         self.max_batch = int(max_batch)
         self.max_delay_s = float(max_delay_ms) / 1e3
         self.bucket = bucket
         self.slo_ms = float(slo_ms) if slo_ms else None
         self.min_batch = int(min_batch)
+        self.adaptive_width = bool(adaptive_width) and bucket
         # SLO policy state: current cap on the pow2 ladder, one warm
         # service-time EWMA per dispatched width (cold first samples at a
         # width are compile-dominated on TPU and are skipped — see module
@@ -209,6 +214,48 @@ class PPRBatchServer:
             self._queue = rest
             return groups, len(rest)
 
+    def _note_service_time(self, width: int, service_ms: float):
+        """Fold a timed dispatch into the per-width warm EWMA.
+
+        Returns the updated EWMA, or None for a width's first-ever sample:
+        that one is remote-compile-dominated on this backend, not service
+        time. (Unbucketed servers recompile constantly anyway — there the
+        skip would ignore nearly every sample, so don't.)
+        """
+        first = width not in self._seen_width
+        self._seen_width.add(width)
+        if first and self.bucket:
+            return None
+        prev = self._svc_time_ms.get(width, service_ms)
+        t = 0.5 * prev + 0.5 * service_ms
+        self._svc_time_ms[width] = t
+        return t
+
+    def _choose_width(self, b: int) -> int:
+        """Dispatch width for a ``b``-row batch: the pow2 bucket, widened
+        to a strictly-faster sampled rung when the warm EWMAs prove one.
+
+        On this backend service time is measured INVERTED in width
+        (t(8)=1.79 s vs t(256)=0.62 s: a narrow dispatch idles the MXU
+        while paying the same annealed sweep train), so padding a 16-row
+        batch up to a 256-wide program is a pure latency win. The 10%
+        margin keeps noise from flapping the width; every candidate rung
+        is already compiled (it has a warm sample by construction).
+        """
+        width = min(_pow2_bucket(b), max(self.max_batch, 8))
+        if not self.adaptive_width:
+            return width
+        t_cur = self._svc_time_ms.get(width)
+        if t_cur is None:
+            return width
+        hi = max(self.max_batch, 8)
+        cands = [w for w, tw in self._svc_time_ms.items()
+                 if width < w <= hi and tw < 0.9 * t_cur]
+        if not cands:
+            return width
+        self.stats.widened_dispatches += 1
+        return min(cands, key=self._svc_time_ms.get)
+
     def _slo_update(self, width: int, service_ms: float, backlog: bool):
         """Move the cap after a timed dispatch (SLO mode only).
 
@@ -219,16 +266,9 @@ class PPRBatchServer:
         intercept, so t(2w) <= 2*t(w) — doubling is safe iff 4*t(w) <= slo,
         or iff the next rung's own warm EWMA already fits).
         """
-        first = width not in self._seen_width
-        self._seen_width.add(width)
-        if first and self.bucket:
-            # cold sample: remote-compile-dominated, not service time.
-            # (Unbucketed servers recompile constantly anyway — there the
-            # skip would ignore nearly every sample, so don't.)
+        t = self._note_service_time(width, service_ms)
+        if t is None:
             return
-        prev = self._svc_time_ms.get(width, service_ms)
-        t = 0.5 * prev + 0.5 * service_ms
-        self._svc_time_ms[width] = t
         cap = self._slo_cap
         lo = _pow2_bucket(self.min_batch)
         t_best = min(self._svc_time_ms.values())
@@ -285,7 +325,7 @@ class PPRBatchServer:
                 b = len(sources)
                 width = b
                 if self.bucket:
-                    width = min(_pow2_bucket(b), max(self.max_batch, 8))
+                    width = self._choose_width(b)
                     self.stats.padded_rows += width - b
                     sources = sources + [sources[0]] * (width - b)
                 self.stats.dispatches += 1
@@ -303,6 +343,9 @@ class PPRBatchServer:
                     with self._lock:
                         backlog = n_rest > 0 or bool(self._queue)
                     self._slo_update(width, (done - t0) * 1e3, backlog)
+                else:
+                    # keep the per-width EWMAs warm for _choose_width
+                    self._note_service_time(width, (done - t0) * 1e3)
                 lat = self.stats.latencies_ms
                 lat.extend((done - t) * 1e3 for t in submits)
                 if len(lat) > self.stats.max_latency_samples:
