@@ -50,16 +50,38 @@ backlog, and when the queue clears jump to the sampled rung with the
 smallest warm service time (the latency-optimal width — on this backend
 that is usually the *widest* rung: t(8)=1.79 s vs t(256)=0.62 s, narrow
 batches idle the MXU while paying the same annealed sweep train). The
-naive alternatives were both measured on the real TPU: pinning the cap at
+naive alternatives were all measured on the real TPU: pinning the cap at
 ``min_batch`` collapsed capacity 68x while raising p50
-(results/serving_latency_slo800.json), and shrink-one-rung-on-idle
+(results/serving_latency_slo800.json); shrink-one-rung-on-idle
 oscillated into 5.8 s p95 queue spikes
-(results/serving_latency_slo800_fixed.json; PERF.md "SLO policy").
+(results/serving_latency_slo800_fixed.json); and the first argmin-jump
+iteration STILL collapsed capacity 12.7x (8<->16 cap oscillation,
+results/serving_latency_slo800_v2.json) because the wide rungs' only
+dispatches were cold compiles whose samples the EWMA skips — the argmin
+never saw a wide rung (round-3 VERDICT). The fix is structural, not
+another jump rule:
+
+* :meth:`PPRBatchServer.prewarm` compiles EVERY pow2 rung up to
+  ``max_batch`` at startup and seeds each rung's EWMA from a second, warm
+  dispatch — serving traffic then never pays a cold compile and the
+  argmin ranks the full ladder from the first dispatch (``prewarm=True``
+  or the daemon's ``--prewarm``);
+* for servers that skip prewarm, best-effort idle dispatches *explore*:
+  while the warm-EWMA trend is non-increasing in width, the cap climbs
+  one unsampled rung instead of jumping, so an inverted-t(width) backend
+  gets its wide rungs sampled even when backlog never forms;
+* downward idle jumps wait for ``idle_hysteresis`` consecutive
+  no-backlog dispatches (a lone idle gap in a busy stream no longer
+  resets the ladder climb);
+* ``stats.slo_unattainable`` tracks the CURRENT regime (it clears when a
+  warm rung proves the SLO attainable again); ``slo_unattainable_ever``
+  records whether best-effort mode was ever entered.
 """
 
 from __future__ import annotations
 
 import json
+import sys
 import threading
 import time
 from collections import defaultdict
@@ -77,10 +99,17 @@ class ServerStats:
     latencies_ms: list = field(default_factory=list)
     #: (dispatch ordinal, new cap) every time the SLO policy moves the cap
     cap_moves: list = field(default_factory=list)
-    #: set when the SLO policy observed that even the fastest dispatched
-    #: width breaches the SLO (target below the service-time intercept);
-    #: the policy is in best-effort mode from that point on.
+    #: True while the SLO policy's CURRENT warm samples show even the
+    #: fastest width breaching the SLO (target below the service-time
+    #: intercept) — best-effort mode. Clears if later samples prove the
+    #: SLO attainable (ADVICE r3: the old latch misreported runs that
+    #: recovered).
     slo_unattainable: bool = False
+    #: latched: best-effort mode was entered at least once in this
+    #: server's lifetime (the old latching semantics, kept for the record)
+    slo_unattainable_ever: bool = False
+    #: widths compiled + EWMA-seeded by :meth:`PPRBatchServer.prewarm`
+    prewarmed_widths: list = field(default_factory=list)
     #: dispatches padded past their pow2 bucket because a wider rung's
     #: warm EWMA was >=10% faster (the measured inverted-t(width) case)
     widened_dispatches: int = 0
@@ -117,6 +146,14 @@ def _pow2_bucket(b: int, lo: int = 8) -> int:
     return n
 
 
+def _ladder(lo: int, hi: int):
+    """All pow2 rungs in [lo, hi]."""
+    w = lo
+    while w <= hi:
+        yield w
+        w <<= 1
+
+
 class PPRBatchServer:
     """Micro-batching front end for :class:`~ppr_tpu.service.PPRService`.
 
@@ -128,7 +165,9 @@ class PPRBatchServer:
     def __init__(self, service, *, max_batch: int = 1024,
                  max_delay_ms: float = 0.0, bucket: bool = True,
                  slo_ms: float | None = None, min_batch: int = 8,
-                 adaptive_width: bool = True):
+                 adaptive_width: bool = True, prewarm: bool = False,
+                 idle_hysteresis: int = 2, probe_source: int = 0,
+                 stale_after: int = 512):
         self._svc = service
         self.max_batch = int(max_batch)
         self.max_delay_s = float(max_delay_ms) / 1e3
@@ -136,23 +175,73 @@ class PPRBatchServer:
         self.slo_ms = float(slo_ms) if slo_ms else None
         self.min_batch = int(min_batch)
         self.adaptive_width = bool(adaptive_width) and bucket
+        #: consecutive no-backlog dispatches required before a *downward*
+        #: idle cap move (a lone idle gap in a busy stream must not reset
+        #: a ladder climb — the round-3 8<->16 oscillation)
+        self.idle_hysteresis = int(idle_hysteresis)
+        #: refresh horizon for per-width EWMAs (in dispatches): a rung not
+        #: sampled for this long is re-probed rather than trusted forever
+        self.stale_after = int(stale_after)
         # SLO policy state: current cap on the pow2 ladder, one warm
         # service-time EWMA per dispatched width (cold first samples at a
         # width are compile-dominated on TPU and are skipped — see module
-        # docstring), and the set of widths already seen once.
+        # docstring), the set of widths already seen once, the dispatch
+        # ordinal of each rung's last sample, and the idle-streak counter.
         self._slo_cap = _pow2_bucket(self.min_batch)
         self._svc_time_ms: dict[int, float] = {}
+        self._svc_time_at: dict[int, int] = {}
         self._seen_width: set[int] = set()
+        self._idle_streak = 0
+        self._last_probe = -(1 << 30)
         self.stats = ServerStats()
         self._lock = threading.Condition()
         self._queue: list[
             tuple[int, int | None, float | None, Future, float]
         ] = []
         self._closed = False
+        if prewarm:
+            # before the dispatcher starts, so no service-call race
+            self.prewarm(source=probe_source)
         self._thread = threading.Thread(
             target=self._dispatch_loop, name="ppr-batch-dispatch", daemon=True
         )
         self._thread.start()
+
+    def prewarm(self, source: int = 0, verbose: bool = True) -> None:
+        """Compile every pow2 rung up to ``max_batch`` and seed its EWMA.
+
+        Each rung is dispatched twice with a dummy batch: the first pays
+        the (remote, possibly minutes-long on this backend) XLA compile,
+        the second's wall time seeds ``_svc_time_ms`` with a genuinely
+        warm sample. After this, no serving dispatch ever pays a cold
+        compile, and the SLO policy's argmin ranks the FULL ladder from
+        the first request — the round-3 collapse happened precisely
+        because wide rungs' only dispatches were cold compiles whose
+        samples the EWMA (correctly) skipped, leaving the argmin blind to
+        them (results/serving_latency_slo800_v2.json; VERDICT r3).
+
+        Called from ``__init__`` when ``prewarm=True`` (before the
+        dispatcher thread starts); safe to call explicitly before serving
+        traffic.
+        """
+        w = _pow2_bucket(self.min_batch)
+        while w <= self.max_batch:
+            batch = [int(source)] * w
+            t0 = time.perf_counter()
+            self._svc.top_k(batch)          # cold: compile + run
+            t_cold = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            self._svc.top_k(batch)          # warm: true service time
+            t_warm = (time.perf_counter() - t0) * 1e3
+            self._seen_width.add(w)
+            self._svc_time_ms[w] = t_warm
+            self._svc_time_at[w] = 0
+            self.stats.prewarmed_widths.append(w)
+            if verbose:
+                # stderr: stdout may be the daemon's JSON-lines channel
+                print(f"prewarm width {w}: cold {t_cold:.1f}s, "
+                      f"warm {t_warm:.0f}ms", file=sys.stderr, flush=True)
+            w <<= 1
 
     # ------------------------------------------------------------------ API
     def submit(self, source: int, k: int | None = None,
@@ -229,6 +318,7 @@ class PPRBatchServer:
         prev = self._svc_time_ms.get(width, service_ms)
         t = 0.5 * prev + 0.5 * service_ms
         self._svc_time_ms[width] = t
+        self._svc_time_at[width] = self.stats.dispatches
         return t
 
     def _choose_width(self, b: int) -> int:
@@ -245,6 +335,9 @@ class PPRBatchServer:
         width = min(_pow2_bucket(b), max(self.max_batch, 8))
         if not self.adaptive_width:
             return width
+        explore = self._explore_width(width)
+        if explore is not None:
+            return explore
         t_cur = self._svc_time_ms.get(width)
         if t_cur is None:
             return width
@@ -252,9 +345,52 @@ class PPRBatchServer:
         cands = [w for w, tw in self._svc_time_ms.items()
                  if width < w <= hi and tw < 0.9 * t_cur]
         if not cands:
+            # Staleness probe (ADVICE r3 low): a rung whose EWMA hasn't
+            # been refreshed in `stale_after` dispatches may be carrying a
+            # transient outlier (e.g. a worker-crash retry) that silently
+            # disabled widening forever. Re-dispatch at the stalest such
+            # rung, at most once per 64 dispatches, so estimates decay
+            # toward reality instead of freezing.
+            now = self.stats.dispatches
+            stale = [w for w, at in self._svc_time_at.items()
+                     if width < w <= hi and now - at > self.stale_after]
+            if stale and now - self._last_probe > 64:
+                self._last_probe = now
+                return min(stale, key=lambda w: self._svc_time_at[w])
             return width
         self.stats.widened_dispatches += 1
         return min(cands, key=self._svc_time_ms.get)
+
+    def _explore_width(self, width: int) -> int | None:
+        """Best-effort-mode ladder exploration: the next rung to pad a
+        dispatch up to so it gains a warm sample.
+
+        Under an unattainable SLO at light load, backlog never forms, so
+        organic dispatches stay narrow and the fast wide rungs of an
+        inverted-t(width) backend are never even compiled — the exact
+        round-3 collapse (the argmin only ever saw {8, 16},
+        results/serving_latency_slo800_v2.json). While the warm trend is
+        non-increasing in width (wider is not hurting), pad dispatches up
+        the ladder one unwarmed rung at a time: the first dispatch at a
+        rung pays its compile, the second leaves a warm EWMA, then the
+        climb continues — 2*O(log max_batch) exploratory dispatches
+        total, after which the argmin ranks the full ladder. A prewarmed
+        server (``prewarm=True``) starts fully warm and never explores.
+        """
+        if self.slo_ms is None or not self.stats.slo_unattainable:
+            return None
+        warm = self._svc_time_ms
+        if not warm:
+            return None
+        w_max = max(warm)
+        if warm[w_max] > 1.2 * min(warm.values()):
+            return None            # t clearly rising with width: stop
+        nxt = w_max
+        while nxt <= self.max_batch:
+            if nxt not in warm:
+                return max(nxt, width)
+            nxt *= 2
+        return None
 
     def _slo_update(self, width: int, service_ms: float, backlog: bool):
         """Move the cap after a timed dispatch (SLO mode only).
@@ -267,44 +403,57 @@ class PPRBatchServer:
         or iff the next rung's own warm EWMA already fits).
         """
         t = self._note_service_time(width, service_ms)
+        self._idle_streak = 0 if backlog else self._idle_streak + 1
         if t is None:
             return
         cap = self._slo_cap
         lo = _pow2_bucket(self.min_batch)
-        t_best = min(self._svc_time_ms.values())
-        if 2.0 * t_best > self.slo_ms:
-            # Even the fastest observed width breaches the SLO: the target
-            # sits below the service-time intercept, so NO width can meet
-            # it (t is affine in width). Round-3 TPU measurement: pinning
-            # the cap at min_batch here collapsed capacity 68x (4.5 vs
-            # 304 qps) while p50 *rose* to 2.0-2.5 s
-            # (results/serving_latency_slo800.json) — narrower batches
-            # multiply dispatch count without touching the intercept.
-            # Best-effort instead: grow under backlog (amortize the
-            # intercept, stabilize the queue), shrink back toward
-            # min_batch when the queue clears (the narrowest batch is the
-            # latency-optimal width).
-            self.stats.slo_unattainable = True
-            if backlog and cap < self.max_batch:
-                self._slo_cap = cap * 2
+        hi = self.max_batch
+        warm = self._svc_time_ms
+        t_best = min(warm.values())
+        # Current-regime flag: set while the fastest warm rung breaches
+        # the SLO, cleared the moment a warm rung proves it attainable
+        # (ADVICE r3: the old latch misreported recovered runs). The
+        # `_ever` latch keeps the historical record.
+        unattainable = 2.0 * t_best > self.slo_ms
+        self.stats.slo_unattainable = unattainable
+        if unattainable:
+            # The target sits below the service-time intercept, so NO
+            # width can meet it (t is affine in width). Round-3 TPU
+            # measurements: pinning the cap at min_batch collapsed
+            # capacity 68x (results/serving_latency_slo800.json); the
+            # first argmin-jump policy collapsed 12.7x because the argmin
+            # never saw a warm wide rung
+            # (results/serving_latency_slo800_v2.json). Best-effort:
+            # maximize throughput under backlog, sit on the warm-argmin
+            # rung when idle (on this backend t(width) is measured
+            # *inverted* — t(8)=1.79 s > t(256)=0.62 s — so that is
+            # usually the widest rung), and rely on prewarm/exploration
+            # (`_explore_width`) to make the ladder actually warm.
+            self.stats.slo_unattainable_ever = True
+            if backlog and cap < hi:
+                if all(w in warm for w in _ladder(lo, hi)):
+                    # fully-warm ladder: jump straight to the best
+                    # rows-per-second rung (every rung is compiled, the
+                    # jump is free)
+                    best = max(warm, key=lambda w: w / warm[w])
+                    self._slo_cap = min(max(best, cap), hi)
+                else:
+                    self._slo_cap = cap * 2
             elif not backlog:
-                # Latency-optimal rung: jump to the sampled width with the
-                # smallest warm service time (every sampled rung is already
-                # compiled, so a multi-rung jump costs nothing). A naive
-                # "shrink one rung on idle" oscillated in the round-3 TPU
-                # re-run — shrink => overload => queue spike => grow
-                # (p95 5.8 s, results/serving_latency_slo800_fixed.json) —
-                # and on this backend t(width) is measured *inverted*
-                # (t(8)=1.79 s > t(256)=0.62 s: narrow batches leave the
-                # MXU idle while paying the same annealed sweep train), so
-                # the latency-optimal width under an unattainable SLO is
-                # usually the widest sampled rung, not min_batch.
-                best = min(self._svc_time_ms, key=self._svc_time_ms.get)
-                self._slo_cap = min(max(best, lo), self.max_batch)
+                # Latency-optimal rung: the warm argmin. Jumps UP are
+                # immediate; jumps DOWN wait for `idle_hysteresis`
+                # consecutive idle dispatches so a lone gap in a busy
+                # stream cannot reset a ladder climb (the round-3 8<->16
+                # oscillation, ADVICE r3).
+                best = min(warm, key=warm.get)
+                new = min(max(best, lo), hi)
+                if new > cap or self._idle_streak >= self.idle_hysteresis:
+                    self._slo_cap = new
         elif 2.0 * t > self.slo_ms and cap > lo:
             self._slo_cap = max(lo, cap // 2)
-        elif backlog and cap < self.max_batch:
-            up = self._svc_time_ms.get(cap * 2)
+        elif backlog and cap < hi:
+            up = warm.get(cap * 2)
             fits = (2.0 * up <= self.slo_ms) if up is not None \
                 else (4.0 * t <= self.slo_ms)
             if fits:
@@ -457,6 +606,11 @@ def main(argv=None) -> int:
                          "static --max-batch cap with an adaptive one "
                          "(grows under backlog while latency fits, shrinks "
                          "on breach)")
+    ap.add_argument("--prewarm", action="store_true",
+                    help="compile + warm-sample every pow2 dispatch width "
+                         "up to --max-batch before serving: startup pays "
+                         "all remote XLA compiles once and the SLO policy "
+                         "starts with the full width ladder ranked")
     ap.add_argument("--mesh", default=None, metavar="DATAxGRAPH",
                     help="serve from the sharded engine on a DATAxGRAPH "
                          "device mesh (e.g. 4x2)")
@@ -488,7 +642,7 @@ def main(argv=None) -> int:
     stats = serve_loop(svc, sys.stdin, sys.stdout,
                        max_batch=args.max_batch,
                        max_delay_ms=args.max_delay_ms,
-                       slo_ms=args.slo_ms)
+                       slo_ms=args.slo_ms, prewarm=args.prewarm)
     print(json.dumps({"served": stats.requests,
                       "dispatches": stats.dispatches,
                       "mean_batch": round(stats.mean_batch, 2)}),

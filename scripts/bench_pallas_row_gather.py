@@ -40,6 +40,11 @@ TILE = 512  # output rows (power of two for & masking)
 
 def make(R):
     def kernel(table_ref, src_ref, dst_ref, out_ref):
+        # zero-fill before accumulating: the Pallas output buffer starts
+        # uninitialized, so accum mode would otherwise read garbage (and
+        # time denormal-dependent arithmetic) — ADVICE r3
+        out_ref[...] = jnp.zeros_like(out_ref)
+
         def rep(r, _):
             def body(i, _):
                 row = table_ref[src_ref[i], :]

@@ -113,6 +113,8 @@ def run_daemon_mode(args) -> int:
         cmd += ["--calibrate"]
     if args.slo_ms:
         cmd += ["--slo-ms", str(args.slo_ms)]
+    if getattr(args, "prewarm", False):
+        cmd += ["--prewarm"]
     env = dict(os.environ)
     if args.cpu:
         # the daemon subprocess must opt into CPU the same way we did
@@ -237,6 +239,9 @@ def main(argv=None) -> int:
                          "dispatch cap instead of the static --max-batch")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (smoke/local testing)")
+    ap.add_argument("--prewarm", action="store_true",
+                    help="daemon mode: pass --prewarm to the daemon "
+                         "(in-process mode always prewarms)")
     ap.add_argument("--daemon", action="store_true",
                     help="drive the stdio daemon as a subprocess (full "
                          "wire path); --rates must be absolute qps")
@@ -265,23 +270,18 @@ def main(argv=None) -> int:
     sources = [rng.randrange(ds.graph.n) for _ in range(args.queries)]
 
     rows = []
+    # Server-side prewarm: compiles EVERY pow2 rung up to max_batch and
+    # seeds each rung's warm EWMA before any traffic. The old client-side
+    # warm loop (submit b requests, wait) could not warm wide rungs in SLO
+    # mode at all — the adaptive cap starts at min_batch, so a 256-request
+    # flood dispatched as 32 narrow batches and the wide programs were
+    # never compiled, which is exactly how the round-3 argmin policy ended
+    # up blind to them (results/serving_latency_slo800_v2.json; VERDICT).
     with PPRBatchServer(svc, max_batch=args.max_batch,
-                        slo_ms=args.slo_ms) as server:
-        # Prewarm every pow2 bucket the load can produce, so remote-XLA
-        # compile latency (minutes per new shape on this backend) never
-        # lands inside a timed window. (In SLO mode the policy itself
-        # absorbs cold compiles — it ignores each width's first sample —
-        # but prewarming still keeps them out of the measured percentiles,
-        # so warm every rung the cap could climb to either way.)
-        b = 8
-        while b <= args.max_batch:
-            t0 = time.perf_counter()
-            futs = [server.submit(s) for s in sources[:b]]
-            for f in futs:
-                f.result()
-            print(f"warm bucket {b}: {time.perf_counter() - t0:.1f}s",
-                  flush=True)
-            b <<= 1
+                        slo_ms=args.slo_ms, prewarm=True) as server:
+        print(f"prewarmed svc_time_ms: "
+              f"{ {w: round(t) for w, t in sorted(server._svc_time_ms.items())} }",
+              flush=True)
         server.stats.latencies_ms.clear()
 
         cap = measure_capacity(server, sources, args.max_batch)
@@ -308,6 +308,9 @@ def main(argv=None) -> int:
         out["slo_ms"] = args.slo_ms
         out["final_dispatch_cap"] = server._cap()
         out["slo_unattainable"] = server.stats.slo_unattainable
+        out["slo_unattainable_ever"] = server.stats.slo_unattainable_ever
+        out["svc_time_ms"] = {str(w): round(t, 1) for w, t in
+                              sorted(server._svc_time_ms.items())}
         out["cap_moves"] = server.stats.cap_moves
     Path(args.out).parent.mkdir(parents=True, exist_ok=True)
     Path(args.out).write_text(json.dumps(out, indent=1) + "\n")

@@ -227,24 +227,28 @@ def test_slo_unattainable_grows_under_backlog():
 
 
 def test_slo_unattainable_jumps_to_fastest_rung_when_idle():
-    """Best-effort mode is latency-optimal when idle: with no backlog the
-    cap jumps to the sampled rung with the smallest warm service time.
-    With service time increasing in width (fake: t = 5 + 5*w) that is
-    min_batch; a one-rung-per-dispatch walk is NOT required (every
-    sampled rung is already compiled, so the jump is free — and the
-    round-3 TPU re-run showed one-rung idle shrinking oscillates into
-    queue spikes, results/serving_latency_slo800_fixed.json)."""
+    """Best-effort mode is latency-optimal when idle: after the idle
+    hysteresis (2 consecutive no-backlog dispatches), the cap jumps DOWN
+    to the sampled rung with the smallest warm service time. With service
+    time increasing in width (fake: t = 5 + 5*w) that is min_batch; a
+    one-rung-per-dispatch walk is NOT required (every sampled rung is
+    already compiled, so the jump is free — and the round-3 TPU re-run
+    showed one-rung idle shrinking oscillates into queue spikes,
+    results/serving_latency_slo800_fixed.json). A LONE idle gap must not
+    move the cap down (the 8<->16 oscillation, ADVICE r3)."""
     svc = TimedFakeService(base_ms=5.0, per_row_ms=5.0)
     server = PPRBatchServer(svc, max_batch=256, slo_ms=20.0, min_batch=8,
                             bucket=True)
     try:
-        # warm sample at the min rung, then hand the policy an idle
-        # dispatch at a burst-grown width.
+        # warm sample at the min rung, then hand the policy idle
+        # dispatches at a burst-grown width.
         server._slo_update(8, 45.0, backlog=True)   # cold (skipped)
         server._slo_update(8, 45.0, backlog=True)   # warm -> unattainable
         server._slo_cap = 64                        # as if a burst grew it
         server._seen_width.update({16, 32, 64})
-        server._slo_update(64, 325.0, backlog=False)
+        server._slo_update(64, 325.0, backlog=False)  # idle #1: hysteresis
+        assert server._slo_cap == 64                  # no lone-gap shrink
+        server._slo_update(64, 325.0, backlog=False)  # idle #2
         assert server._slo_cap == 8                 # argmin t: straight home
     finally:
         server.close()
@@ -297,9 +301,12 @@ def test_slo_cold_sample_ignored():
     server.max_batch = 256
     server.min_batch = 8
     server.bucket = True
+    server.idle_hysteresis = 2
     server._slo_cap = 8
     server._svc_time_ms = {}
+    server._svc_time_at = {}
     server._seen_width = set()
+    server._idle_streak = 0
     from ppr_tpu.serving import ServerStats
 
     server.stats = ServerStats()
@@ -320,3 +327,117 @@ def test_slo_off_uses_static_cap():
         _flood(server, 40)
     assert max(svc.widths) <= 16
     assert server.stats.cap_moves == []
+
+
+def test_prewarm_seeds_full_ladder():
+    """prewarm=True compiles every pow2 rung up to max_batch and seeds a
+    warm EWMA for each BEFORE serving — the structural fix for the round-3
+    collapse, where wide rungs' only dispatches were cold compiles whose
+    samples the policy (correctly) skipped, leaving the idle argmin blind
+    to the fast wide rungs (results/serving_latency_slo800_v2.json)."""
+    svc = TimedFakeService(base_ms=1.0, per_row_ms=0.01)
+    with PPRBatchServer(svc, max_batch=64, slo_ms=1000.0,
+                        prewarm=True) as server:
+        assert sorted(server._svc_time_ms) == [8, 16, 32, 64]
+        assert server.stats.prewarmed_widths == [8, 16, 32, 64]
+        # two dispatches per rung: one cold (compile), one warm (sample)
+        assert svc.widths == [8, 8, 16, 16, 32, 32, 64, 64]
+        assert all(t > 0 for t in server._svc_time_ms.values())
+
+
+def test_prewarmed_unattainable_jumps_straight_to_fast_wide_rung():
+    """With an inverted t(width) backend (wide = fast, the measured TPU
+    profile) and an unattainable SLO, a prewarmed server must converge its
+    cap to the wide rung and STAY there — the capacity-collapse regression
+    test for results/serving_latency_slo800_v2.json (cap stuck
+    oscillating 8<->16 at 32.6 qps vs 414 static)."""
+
+    class InvertedService(TimedFakeService):
+        # t(w) = 60 - 0.2*w ms: t(8)=58.4, t(256)=8.8 (monotone inverted)
+        def top_k(self, sources, k=None, eps=None):
+            import time as _t
+
+            self.widths.append(len(sources))
+            _t.sleep((60.0 - 0.2 * len(sources)) / 1e3)
+            return [[(s, 1.0, str(s))] for s in sources]
+
+    svc = InvertedService()
+    with PPRBatchServer(svc, max_batch=256, slo_ms=10.0, min_batch=8,
+                        prewarm=True) as server:
+        _flood(server, 40)          # light trickle: little to no backlog
+        cap_after_trickle = server._cap()
+        _flood(server, 600)         # heavier load
+        final_cap = server._cap()
+    assert server.stats.slo_unattainable       # 2*t(256) > 10ms: truly so
+    assert cap_after_trickle == 256            # idle argmin jump went UP
+    assert final_cap == 256
+    # and it never walked back down once there
+    caps = [c for _, c in server.stats.cap_moves]
+    assert caps and caps[-1] == 256
+    assert all(c >= caps[i] for i, c in enumerate(caps[1:]))
+
+
+def test_unprewarmed_unattainable_explores_ladder():
+    """Without prewarm, best-effort mode must still DISCOVER fast wide
+    rungs by padding dispatches up the ladder while the warm trend is
+    non-increasing (exploration), rather than waiting for backlog that
+    light load never produces — ADVICE r3's 'wide rungs are never
+    sampled' defect."""
+
+    class FlatService(TimedFakeService):
+        # flat t(w): wider is never worse -> exploration should reach 64
+        def top_k(self, sources, k=None, eps=None):
+            import time as _t
+
+            self.widths.append(len(sources))
+            _t.sleep(0.01)
+            return [[(s, 1.0, str(s))] for s in sources]
+
+    svc = FlatService()
+    with PPRBatchServer(svc, max_batch=64, slo_ms=5.0, min_batch=8) as server:
+        for _ in range(24):          # sequential singles: zero backlog
+            server.submit(1).result(timeout=120)
+    assert server.stats.slo_unattainable
+    assert sorted(server._svc_time_ms) == [8, 16, 32, 64]  # fully explored
+    assert max(svc.widths) == 64
+
+
+def test_slo_unattainable_flag_clears_on_recovery():
+    """stats.slo_unattainable tracks the CURRENT regime: a later warm
+    sample proving the SLO attainable clears it (ADVICE r3: the old latch
+    misreported recovered runs); slo_unattainable_ever keeps the record."""
+    svc = TimedFakeService(base_ms=1.0, per_row_ms=0.01)
+    server = PPRBatchServer(svc, max_batch=256, slo_ms=50.0, min_batch=8)
+    try:
+        server._slo_update(8, 100.0, backlog=True)   # cold (skipped)
+        server._slo_update(8, 100.0, backlog=True)   # warm: unattainable
+        assert server.stats.slo_unattainable
+        # transient cleared (e.g. a worker-crash retry polluted the EWMA);
+        # fresh fast samples pull the EWMA back under the SLO
+        for _ in range(6):
+            server._slo_update(8, 4.0, backlog=True)
+        assert not server.stats.slo_unattainable     # cleared
+        assert server.stats.slo_unattainable_ever    # history retained
+    finally:
+        server.close()
+
+
+def test_stale_ewma_reprobed():
+    """A wider rung whose EWMA has not been refreshed in `stale_after`
+    dispatches gets re-dispatched (probe) so a transient outlier cannot
+    disable widening forever (ADVICE r3)."""
+    svc = TimedFakeService(base_ms=1.0, per_row_ms=0.01)
+    server = PPRBatchServer(svc, max_batch=64, stale_after=10)
+    try:
+        # warm rung 64 with an outlier sample (slower than rung 8)
+        server._seen_width.add(64)
+        server._note_service_time(64, 500.0)
+        server._seen_width.add(8)
+        server._note_service_time(8, 2.0)
+        server.stats.dispatches = 100     # rung 64's sample is now stale
+        w = server._choose_width(3)
+        assert w == 64                    # probe re-dispatches the stale rung
+        # a second probe within 64 dispatches is suppressed
+        assert server._choose_width(3) == 8
+    finally:
+        server.close()
