@@ -58,7 +58,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="comma subset of algorithm names (AlgoType values, "
                         "e.g. MC,NEO4J_METHOD) to run within each selected "
                         "test — resume a budget-cut sweep without repaying "
-                        "its completed sections")
+                        "its completed sections. 'MC:2' skips the first 2 "
+                        "params of MC's arrays (already-recorded rows)")
     p.add_argument("--tests", default="1,2,3",
                    help="comma subset of the three protocol tests to run "
                         "(1=whole-graph, 2=top-k, 3=preprocessing)")

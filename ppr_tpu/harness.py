@@ -365,15 +365,37 @@ class PerfHarness:
         tail — and never silently either way. ``algos`` (a set of
         AlgoType-value strings) restricts each test to those algorithms,
         keeping the reference's section numbering — for resuming a
-        budget-cut sweep without repaying its completed sections."""
+        budget-cut sweep without repaying its completed sections. An
+        entry may carry a start index, ``"MC:2"``: the section skips its
+        first 2 params (with an explicit note row) — for banking the NEXT
+        param of a sweep whose earlier params are already recorded (their
+        stores are deleted after each test, Gen_Util.java:249-251, so a
+        plain re-run would repay them in full)."""
         spec = SWEEPS.get(sweep or self.dataset.name) or SWEEPS["got"]
         self.writer.header()
         results = []
+
+        starts: dict[str, int] = {}
+        if algos is not None:
+            names = set()
+            for a in algos:
+                name, _, idx = str(a).partition(":")
+                names.add(name)
+                if idx:
+                    starts[name] = int(idx)
+            algos = names
 
         def selected(algo) -> bool:
             return algos is None or algo.value in algos
 
         def run_section(algo, params, runner):
+            start = starts.get(algo.value, 0)
+            if start:
+                self.writer.section(
+                    f"# first {start} param(s) skipped (already recorded): "
+                    f"{list(params[:start])}"
+                )
+                params = params[start:]
             t0 = time.perf_counter()
             for j, param in enumerate(params):
                 if budget_s is not None and j > 0 \

@@ -65,6 +65,25 @@ if [ ! -s results/got_rerun_r4.log ]; then
   echo "rc=$?"
 fi
 
+# Phase H: hub-count knee at the bench batch (PERF.md's stated remaining
+# single-chip lever: a bigger hub matrix trades MXU time for sparse-tail
+# index count; the 8192 default was the B=256 knee).
+if [ ! -s results/hub_knee_r4.json ]; then
+  log "phase H: hub knee probe at B=1024"
+  timeout 3600 python scripts/hub_knee.py --out results/hub_knee_r4.json \
+    > results/hub_knee_r4.log 2>&1
+  echo "rc=$?"
+fi
+
+# Phase A: Mosaic fused-gather re-probe (standing item; round-3 re-probe
+# hit a compile hang — keep the measured-negative record current).
+if [ ! -s results/mosaic_probe_r4.log ]; then
+  log "phase A: Mosaic gather probe"
+  timeout 1800 python scripts/probe_mosaic_gather.py \
+    > results/mosaic_probe_r4.log 2>&1
+  echo "rc=$?"
+fi
+
 # Phase D: headline bench (the driver re-runs bench.py at round end; this
 # banks a mid-round artifact).
 if [ ! -s results/bench_r4_headline.json ]; then

@@ -126,3 +126,23 @@ def test_batch_test_algos_filter(tmp_path, monkeypatch):
     assert "2.3 MC" in report
     assert "FORA_TOPK" not in report
     assert "NEO4J_METHOD" not in report
+
+
+def test_batch_test_algos_start_index(tmp_path, monkeypatch):
+    """'MC:2' skips the section's first 2 params with an explicit note —
+    banking the NEXT param of a sweep whose earlier params are already
+    recorded (their prep stores were deleted after each test, so a plain
+    re-run would repay them in full)."""
+    monkeypatch.chdir(tmp_path)
+    from ppr_tpu.cli import load_dataset
+
+    ds = load_dataset("synth:200x4@3")
+    h = PerfHarness(ds, seed=0, out_dir=str(tmp_path), progress=False)
+    h.algo_perf_batch_test(query_num=2, k=5, sweep="got", tests=(2,),
+                           budget_s=1.0, algos={"MC:2"})
+    report = (tmp_path / f"{ds.name}_AlgoPerfResults.txt").read_text()
+    assert "2.3 MC" in report
+    assert "skipped (already recorded): [1.0, 0.5]" in report
+    # first data row is the THIRD param of the got MC topk array (0.3)
+    lines = [ln for ln in report.splitlines() if ln.startswith("0.")]
+    assert lines and lines[0].startswith("0.3,")
