@@ -384,6 +384,14 @@ class PerfHarness:
                 if idx:
                     starts[name] = int(idx)
             algos = names
+        if starts and len(tests) != 1:
+            # a start index is per-SECTION state; applying it to every
+            # selected test would silently drop unrecorded params from the
+            # other tests' result sections
+            raise ValueError(
+                "--algos start indices (e.g. 'MC:2') require exactly one "
+                "--tests selection; run each test's resume separately"
+            )
 
         def selected(algo) -> bool:
             return algos is None or algo.value in algos

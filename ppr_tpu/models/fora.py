@@ -79,7 +79,19 @@ def _completion_iters(rsum: float, target: float, alpha: float) -> int:
 
 
 def _pow2_bucket(x: int) -> int:
+    """WALK-POOL bucket: floor 1024 (walk pools are huge; a smaller floor
+    just mints extra programs). NOT for batch widths — serving batch
+    ladders use :func:`_pow2_width` (floor 8)."""
     return 1 << max(10, int(math.ceil(math.log2(max(x, 1)))))
+
+
+def _pow2_width(b: int, lo: int = 8) -> int:
+    """Serving batch-width bucket (floor 8, matching serving._pow2_bucket
+    and _pad_sources' minimum safe width)."""
+    w = lo
+    while w < b:
+        w <<= 1
+    return w
 
 
 #: walk-pool bucket hysteresis: per (n_pad, edges, weighted) graph shape,
@@ -402,7 +414,7 @@ def annealed_topk_propagate(
     return p_t.T, r_t.T, iters
 
 
-@partial(jax.jit, static_argnames=("alpha", "k", "max_iters", "num_chunks",
+@partial(jax.jit, static_argnames=("alpha", "k", "num_chunks",
                                    "early_exit", "early_check_every"))
 def annealed_topk_propagate_perrow(
     g: Graph,
@@ -416,7 +428,9 @@ def annealed_topk_propagate_perrow(
     min_delta: float,
     k: int,
     alpha: float,
-    max_iters: int = 600,
+    max_iters=600,           # i32 scalar (TRACED: the ladder passes the
+                             # remaining total budget per stage — a static
+                             # arg would mint a program per stage)
     hs=None,
     num_chunks: int = 1,
     early_exit: bool = False,
@@ -872,8 +886,9 @@ class ForaTopk(_ForaCostModel, PPRAlgorithm):
             yield np.arange(b), vals, ids
             return
 
-        max_iters = 600
-        W = _pow2_bucket(max(b, 8))
+        budget = 600                  # TOTAL sweep budget across all
+        iters_used = 0                # stages — same cap as the solo path
+        W = _pow2_width(b)
         padded = np.zeros(W, np.int64)
         padded[:b] = sources
         sources_j = jnp.asarray(padded, jnp.int32)
@@ -891,12 +906,13 @@ class ForaTopk(_ForaCostModel, PPRAlgorithm):
             p, r, delta, finished_j, iters = annealed_topk_propagate_perrow(
                 g, p, r, src_onehot, jnp.float32(eps), delta, finished_j,
                 jnp.int32(live_floor), self.min_delta, k, self.alpha,
-                max_iters=max_iters, hs=self.hub_split,
+                max_iters=budget - iters_used, hs=self.hub_split,
                 num_chunks=self._num_chunks(W),
                 early_exit=self.early_exit,
             )
             fin = np.asarray(finished_j).copy()
-            gave_up = int(iters) >= max_iters and not fin.all()
+            iters_used += int(iters)
+            gave_up = iters_used >= budget and not fin.all()
             emit_mask = (fin if not gave_up else np.ones(W, bool)) \
                 & (orig >= 0)
             if emit_mask.any():
@@ -908,9 +924,12 @@ class ForaTopk(_ForaCostModel, PPRAlgorithm):
                        np.asarray(ids)[emit_mask])
             if fin.all() or gave_up:
                 return
-            # compact stragglers into the half-width continuation
+            # compact stragglers into the pow2 ceiling of the live count
+            # (NOT just W/2: when many rows retire in one sweep, jumping
+            # straight down skips no-op intermediate stages — each would
+            # be a full remote program dispatch on this backend)
             live_idx = np.nonzero(~fin)[0]
-            new_w = max(8, W // 2)
+            new_w = _pow2_width(len(live_idx))
             sel = np.concatenate([
                 live_idx,
                 np.full(new_w - len(live_idx), live_idx[0], live_idx.dtype),

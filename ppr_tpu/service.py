@@ -221,6 +221,12 @@ class PPRService:
         return out
 
     @property
+    def n_nodes(self) -> int:
+        """Graph node count — lets the serving layer spread prewarm probe
+        sources over real nodes instead of W copies of one source."""
+        return int(self.dataset.graph.n)
+
+    @property
     def supports_stream(self) -> bool:
         """True when :meth:`top_k_stream` is usable (cohort=True and the
         engine has the per-row cohort serving path)."""

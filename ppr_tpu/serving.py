@@ -233,9 +233,23 @@ class PPRBatchServer:
             def run(batch):
                 self._svc.top_k(batch)
 
+        # Spread probe sources over real nodes when the service exposes
+        # its node count: W copies of one source would (a) measure only
+        # that source's sweep train — the annealed batch runs until the
+        # SLOWEST row settles, so a single easy source seeds an
+        # unrepresentative EWMA — and (b) retire a cohort-streaming
+        # dispatch in one stage, never exercising the ladder's
+        # staggered-retirement path.
+        n = int(getattr(self._svc, "n_nodes", 0) or 0)
+
+        def probe_batch(width):
+            if n > 1:
+                return [(int(source) + i * 7919) % n for i in range(width)]
+            return [int(source)] * width
+
         w = _pow2_bucket(self.min_batch)
         while w <= self.max_batch:
-            batch = [int(source)] * w
+            batch = probe_batch(w)
             t0 = time.perf_counter()
             run(batch)                      # cold: compile + run
             t_cold = time.perf_counter() - t0
