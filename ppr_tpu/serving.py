@@ -601,6 +601,10 @@ def serve_loop(service, in_stream, out_stream, **server_kwargs) -> ServerStats:
                         "latency_ms": server.stats.latency_percentiles(),
                         "dispatch_cap": server._cap(),
                         "cap_moves": server.stats.cap_moves[-16:],
+                        "slo_unattainable": server.stats.slo_unattainable,
+                        "prewarmed_widths": server.stats.prewarmed_widths,
+                        "widened_dispatches":
+                            server.stats.widened_dispatches,
                     }})
                     continue
                 fut = server.submit(
