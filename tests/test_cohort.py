@@ -94,6 +94,40 @@ def test_cohort_early_exit_ids_exact(got):
         np.testing.assert_array_equal(ids_b[:10], ids_f[:10])
 
 
+def test_cohort_width_ladder_floor_is_8(fora, monkeypatch):
+    """The cohort ladder must bucket batch widths with the SERVING floor
+    (8), not fora.py's walk-pool bucket (floor 1024): a 12-row dispatch
+    runs at widths {16, 8}, never instantiating kilobatch state (r4 code
+    review finding), and compaction jumps straight to the pow2 ceiling of
+    the live count (no no-op intermediate stages)."""
+    import ppr_tpu.models.fora as F
+
+    widths = []
+    orig = F.annealed_topk_propagate_perrow
+
+    def spy(g, p, *a, **kw):
+        widths.append(int(p.shape[0]))
+        return orig(g, p, *a, **kw)
+
+    monkeypatch.setattr(F, "annealed_topk_propagate_perrow", spy)
+    out, _ = _collect(fora, np.arange(12) * 7 % 100)
+    assert sorted(out) == list(range(12))
+    assert widths and max(widths) == 16
+    assert all(w in (16, 8) for w in widths)
+    # strictly decreasing stages: no width repeats (each stage either
+    # finishes the ladder or compacts to a smaller pow2)
+    assert len(widths) == len(set(widths))
+
+
+def test_pow2_width_vs_walk_bucket():
+    from ppr_tpu.models.fora import _pow2_bucket, _pow2_width
+
+    assert _pow2_width(1) == 8
+    assert _pow2_width(9) == 16
+    assert _pow2_width(300) == 512
+    assert _pow2_bucket(1) == 1024          # walk pools: floor stays 1024
+
+
 def test_service_stream_matches_top_k(got):
     svc = PPRService.from_dataset(got, k=10, cohort=True)
     assert svc.supports_stream
