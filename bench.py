@@ -195,10 +195,17 @@ def main():
     fora = conf.set_conf_fora_topk(ds, args.k)
     if not args.no_hub_split:
         # dense-hub hybrid SpMV, bf16 hub matrix: 2.5x per annealed-loop
-        # sweep at the auto hub count on this graph (PERF.md)
+        # sweep (PERF.md). The hub-count knee is batch-dependent: the
+        # round-4 probe at B=1024 measured H=4096 fastest (629.0 qps vs
+        # 610.9 at 8192 / 522.7 at 16384, results/hub_knee_r4.json) while
+        # the marginal-benefit auto rule lands at ~8832 on this graph —
+        # past the knee the hub matmul is FLOP-bound and extra columns
+        # cost more than the tail indices they remove. Use the measured
+        # knee at the bench batch; auto elsewhere.
         import jax.numpy as jnp
 
-        fora.enable_hub_split(args.hub_split or "auto", dtype=jnp.bfloat16)
+        hubs = args.hub_split or (4096 if args.batch >= 1024 else "auto")
+        fora.enable_hub_split(hubs, dtype=jnp.bfloat16)
 
     # warmup (compile) then timed runs. If the device path fails outright
     # (e.g. remote-compile outage), still emit a valid result line from the
