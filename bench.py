@@ -171,6 +171,9 @@ def main():
     ap.add_argument("--hub-split", type=int, default=None,
                     help="override the auto hub count")
     args = ap.parse_args()
+    if args.hub_split is not None and args.hub_split <= 0:
+        ap.error("--hub-split must be positive; use --no-hub-split to "
+                 "disable the hybrid SpMV")
     if args.quick:
         args.n, args.deg, args.batch = 4096, 8, 8
         args.cpu_queries, args.acc_queries = 1, 4
@@ -204,7 +207,8 @@ def main():
         # knee at the bench batch; auto elsewhere.
         import jax.numpy as jnp
 
-        hubs = args.hub_split or (4096 if args.batch >= 1024 else "auto")
+        hubs = args.hub_split if args.hub_split is not None \
+            else (4096 if args.batch >= 1024 else "auto")
         fora.enable_hub_split(hubs, dtype=jnp.bfloat16)
 
     # warmup (compile) then timed runs. If the device path fails outright

@@ -38,6 +38,7 @@ walk-cost constant (the reference hard-codes 400 ns, Fora_Whole_Graph.java:35).
 from __future__ import annotations
 
 import math
+import sys
 import time
 from functools import partial
 
@@ -122,6 +123,13 @@ _WARMED_PUSH_SHAPES: set = set()
 #: walk-phase chunking budget: keep each chunk's walker total comfortably
 #: inside int32 (expand_walkers cumsums int32) and inside one walker pool
 _WALK_CHUNK_BUDGET = 1 << 28
+
+#: Total annealed-sweep budget for a top-k query, shared by the batch path
+#: (:func:`annealed_topk_propagate`) and the cohort ladder
+#: (:meth:`ForaTopk.compute_topk_ids_cohorts`) so the two cannot silently
+#: drift (ADVICE r4). Far above any observed train (~40 sweeps on the
+#: headline graph); on exhaustion the cohort path logs the give-up.
+MAX_TOPK_SWEEPS = 600
 
 
 def _walk_contrib_chunked(g, om, w, next_key, alpha, no_zero_hop):
@@ -320,7 +328,7 @@ def annealed_topk_propagate(
     min_delta: float,
     k: int,
     alpha: float,
-    max_iters: int = 600,
+    max_iters: int = MAX_TOPK_SWEEPS,
     hs=None,                 # optional ops.hub_split.HubSplit
     num_chunks: int = 1,     # >1: chunked per-edge gather (huge graphs)
     early_exit: bool = False,
@@ -428,7 +436,7 @@ def annealed_topk_propagate_perrow(
     min_delta: float,
     k: int,
     alpha: float,
-    max_iters=600,           # i32 scalar (TRACED: the ladder passes the
+    max_iters=MAX_TOPK_SWEEPS,  # i32 scalar (TRACED: the ladder passes the
                              # remaining total budget per stage — a static
                              # arg would mint a program per stage)
     hs=None,
@@ -886,7 +894,7 @@ class ForaTopk(_ForaCostModel, PPRAlgorithm):
             yield np.arange(b), vals, ids
             return
 
-        budget = 600                  # TOTAL sweep budget across all
+        budget = MAX_TOPK_SWEEPS      # TOTAL sweep budget across all
         iters_used = 0                # stages — same cap as the solo path
         W = _pow2_width(b)
         padded = np.zeros(W, np.int64)
@@ -913,6 +921,15 @@ class ForaTopk(_ForaCostModel, PPRAlgorithm):
             fin = np.asarray(finished_j).copy()
             iters_used += int(iters)
             gave_up = iters_used >= budget and not fin.all()
+            if gave_up:
+                # unconverged rows are emitted for parity with the batch
+                # path's hard cap, but a streaming consumer deserves the
+                # signal (ADVICE r4)
+                n_unconv = int((~fin & (orig >= 0)).sum())
+                print(f"ppr_tpu.fora: cohort sweep budget {budget} "
+                      f"exhausted with {n_unconv} unconverged row(s); "
+                      f"emitting current estimates", file=sys.stderr,
+                      flush=True)
             emit_mask = (fin if not gave_up else np.ones(W, bool)) \
                 & (orig >= 0)
             if emit_mask.any():

@@ -76,6 +76,21 @@ another jump rule:
 * ``stats.slo_unattainable`` tracks the CURRENT regime (it clears when a
   warm rung proves the SLO attainable again); ``slo_unattainable_ever``
   records whether best-effort mode was ever entered.
+
+v4 (round 5): on an SLO breach the cap JUMPS to the fastest warm rung in
+one evidence-based move instead of blindly halving. The v3 halving rule
+assumed the classic t-rises-with-width batching model; on this backend
+t(width) is measured *inverted*, so each halving moved latency the wrong
+way — under sustained mid-range load the current rung's EWMA inflated
+past the SLO while stale prewarm seeds at other rungs still fit, and the
+walk shrank 64->32->16 for ~170 dispatches before the all-rungs-breach
+flip rescued it (results/serving_latency_slo800_v3.json, 50%-load row:
+p95 10.9 s, drain 12.3 s — the round-4 VERDICT's headline defect). Blind
+halving survives only as an idle-time exploration fallback when the rung
+below has never been sampled (a cold-start classic backend still finds
+its way down); it is refused under backlog, where shrinking pushes
+throughput below the offered load by construction. When every warm rung
+breaches, the (unchanged) best-effort flip takes over in one move.
 """
 
 from __future__ import annotations
@@ -110,6 +125,8 @@ class ServerStats:
     slo_unattainable_ever: bool = False
     #: widths compiled + EWMA-seeded by :meth:`PPRBatchServer.prewarm`
     prewarmed_widths: list = field(default_factory=list)
+    #: rungs prewarm gave up on after a retry (left unwarmed, not fatal)
+    prewarm_failed_widths: list = field(default_factory=list)
     #: dispatches padded past their pow2 bucket because a wider rung's
     #: warm EWMA was >=10% faster (the measured inverted-t(width) case)
     widened_dispatches: int = 0
@@ -137,6 +154,12 @@ class ServerStats:
             i = min(len(xs) - 1, max(0, int(round(q / 100.0 * len(xs))) - 1))
             out[f"p{q}"] = xs[i]
         return out
+
+
+#: settle delay before a prewarm rung's single retry (the documented
+#: transient TPU-worker crash recovers in about this long); module-level
+#: so tests can shrink it
+_PREWARM_RETRY_S = 60.0
 
 
 def _pow2_bucket(b: int, lo: int = 8) -> int:
@@ -250,20 +273,40 @@ class PPRBatchServer:
         w = _pow2_bucket(self.min_batch)
         while w <= self.max_batch:
             batch = probe_batch(w)
-            t0 = time.perf_counter()
-            run(batch)                      # cold: compile + run
-            t_cold = time.perf_counter() - t0
-            t0 = time.perf_counter()
-            run(batch)                      # warm: true service time
-            t_warm = (time.perf_counter() - t0) * 1e3
-            self._seen_width.add(w)
-            self._svc_time_ms[w] = t_warm
-            self._svc_time_at[w] = 0
-            self.stats.prewarmed_widths.append(w)
-            if verbose:
-                # stderr: stdout may be the daemon's JSON-lines channel
-                print(f"prewarm width {w}: cold {t_cold:.1f}s, "
-                      f"warm {t_warm:.0f}ms", file=sys.stderr, flush=True)
+            # Transient-failure tolerance (ADVICE r4 medium): the remote
+            # TPU worker has documented transient UNAVAILABLE crashes, and
+            # prewarm runs inside __init__ — one crash during the
+            # possibly hour-long ladder probe must not abort server
+            # construction. Retry once after a settle delay; on repeated
+            # failure skip the rung (it stays unwarmed; organic traffic
+            # or _explore_width can still sample it later) and record it.
+            for attempt in (1, 2):
+                try:
+                    t0 = time.perf_counter()
+                    run(batch)              # cold: compile + run
+                    t_cold = time.perf_counter() - t0
+                    t0 = time.perf_counter()
+                    run(batch)              # warm: true service time
+                    t_warm = (time.perf_counter() - t0) * 1e3
+                except Exception as e:  # noqa: BLE001 - transient backend
+                    print(f"prewarm width {w} attempt {attempt} failed: "
+                          f"{type(e).__name__}: {e}", file=sys.stderr,
+                          flush=True)
+                    if attempt == 1:
+                        time.sleep(_PREWARM_RETRY_S)
+                        continue
+                    self.stats.prewarm_failed_widths.append(w)
+                    break
+                self._seen_width.add(w)
+                self._svc_time_ms[w] = t_warm
+                self._svc_time_at[w] = 0
+                self.stats.prewarmed_widths.append(w)
+                if verbose:
+                    # stderr: stdout may be the daemon's JSON-lines channel
+                    print(f"prewarm width {w}: cold {t_cold:.1f}s, "
+                          f"warm {t_warm:.0f}ms", file=sys.stderr,
+                          flush=True)
+                break
             w <<= 1
 
     # ------------------------------------------------------------------ API
@@ -405,21 +448,27 @@ class PPRBatchServer:
         warm = self._svc_time_ms
         if not warm:
             return None
-        w_max = max(warm)
-        if warm[w_max] > 1.2 * min(warm.values()):
-            return None            # t clearly rising with width: stop
-        nxt = w_max
-        while nxt <= self.max_batch:
-            if nxt not in warm:
-                return max(nxt, width)
-            nxt *= 2
+        lo = _pow2_bucket(self.min_batch)
+        hi = max(self.max_batch, lo)
+        # Rising-trend stop on ADJACENT warmed rungs (ADVICE r4: comparing
+        # the top rung against the global min let one noisy top sample
+        # halt exploration forever, and a burst-warmed high rung hid the
+        # unwarmed gap below it).
+        ws = [w for w in _ladder(lo, hi) if w in warm]
+        if len(ws) >= 2 and warm[ws[-1]] > 1.2 * warm[ws[-2]]:
+            return None            # t clearly rising at the warm frontier
+        for nxt in _ladder(lo, hi):
+            if nxt >= width and nxt not in warm:
+                return nxt
         return None
 
     def _slo_update(self, width: int, service_ms: float, backlog: bool):
         """Move the cap after a timed dispatch (SLO mode only).
 
         Worst-case request latency ~= 2 * t(width): wait out the in-flight
-        dispatch, then ride the next. Shrink when that breaches the SLO;
+        dispatch, then ride the next. On breach, jump to the fastest warm
+        rung in one move (v4 — see module docstring; blind halving only as
+        an idle cold-start fallback when the rung below is unsampled);
         grow one rung under backlog when the *predicted* time at the next
         rung still fits (service time is affine in width with a positive
         intercept, so t(2w) <= 2*t(w) — doubling is safe iff 4*t(w) <= slo,
@@ -473,8 +522,25 @@ class PPRBatchServer:
                 new = min(max(best, lo), hi)
                 if new > cap or self._idle_streak >= self.idle_hysteresis:
                     self._slo_cap = new
-        elif 2.0 * t > self.slo_ms and cap > lo:
-            self._slo_cap = max(lo, cap // 2)
+        elif 2.0 * t > self.slo_ms:
+            # v4 breach rule: one evidence-based jump to the fastest warm
+            # rung (any direction), never a blind halving walk. Margin
+            # (10%) keeps two near-equal rungs from flapping. Since t
+            # breaches but t_best fits (the unattainable branch above
+            # owns the all-breach case), the jump target meets the SLO.
+            cands = {w: tw for w, tw in warm.items()
+                     if lo <= w <= hi and tw < 0.9 * t}
+            if cands:
+                best = min(cands, key=cands.get)
+                self._slo_cap = min(max(best, lo), hi)
+            elif cap > lo and (cap // 2) not in warm and not backlog:
+                # cold-start fallback only: the rung below was never
+                # sampled, so explore downward (classic-backend prior) —
+                # but never under backlog, where a shrink drops
+                # throughput below the offered load by construction (the
+                # v3 spiral's mechanism).
+                self._slo_cap = max(lo, cap // 2)
+            # else: hold — the current rung is the best evidence we have
         elif backlog and cap < hi:
             up = warm.get(cap * 2)
             fits = (2.0 * up <= self.slo_ms) if up is not None \

