@@ -93,6 +93,8 @@ def make_node_sharded_annealed_topk(
     min_delta: float,
     max_iters: int = 600,
     ring_dtype: str = "f32",
+    frontier_blocks: int | None = None,
+    num_blocks: int = 64,
 ):
     """Build the jitted end-to-end node-sharded FORA top-k program.
 
@@ -112,6 +114,24 @@ def make_node_sharded_annealed_topk(
     tests/test_ring_bf16.py). The comm model prices it
     (parallel/comm_model.py: payload_bytes=2) — the round-4 answer to the
     modeled graph-axis comm wall (VERDICT r3 item 3).
+
+    ``frontier_blocks=C`` (round 5, VERDICT r4 item 3) turns on the
+    FRONTIER-COMPACTED ring: each device splits its ``n_local`` chunk
+    columns into ``num_blocks`` contiguous blocks, selects the ``C``
+    blocks carrying the most residue mass this sweep, pushes ONLY those
+    (the unselected residue stays in place — exact deferral, no mass is
+    ever dropped), and circulates just the compacted
+    ``[B_l, C*blk]`` values + ``[C]`` block ids. Wire bytes shrink by
+    ``C/num_blocks``; correctness is unconditional because push order is
+    free in forward-push semantics (the reference's own queue pushes in
+    arbitrary order, Forward_Push.java:60-88) and the stopping rule reads
+    the FULL residue sum including deferred mass. Each sweep pushes the
+    top-C blocks ≥ C/NB of the remaining mass, so convergence stays
+    geometric; with ``C = num_blocks`` the arithmetic is identical to the
+    dense ring (equality-tested, tests/test_frontier_ring.py). Residue
+    mass on power-law graphs concentrates on hub blocks
+    (scripts/ring_occupancy.py measures the coverage curve), so small C
+    costs few extra sweeps while dividing the ICI bytes.
     """
     alpha_f = jnp.float32(alpha)
     mesh_shape = dict(zip(mesh.axis_names, mesh.devices.shape))
@@ -132,6 +152,26 @@ def make_node_sharded_annealed_topk(
                 x.astype(jnp.bfloat16), "graph", perm
             ).astype(jnp.float32)
         return jax.lax.ppermute(x, "graph", perm)
+
+    # frontier-compacted ring geometry (static). NB block-mass top-C
+    # selection is per-device; blk*NB >= n_local with zero padding.
+    NB = max(1, min(int(num_blocks), n_local))
+    blk = -(-n_local // NB)               # ceil
+    C = None
+    if frontier_blocks is not None:
+        C = max(1, min(int(frontier_blocks), NB))
+
+    def _rot_pair(carry):
+        comp_, sel_ = carry
+        if s_graph <= 1:
+            return comp_, sel_
+        if ring_dtype == "bf16":
+            comp_ = jax.lax.ppermute(
+                comp_.astype(jnp.bfloat16), "graph", perm
+            ).astype(jnp.float32)
+        else:
+            comp_ = jax.lax.ppermute(comp_, "graph", perm)
+        return comp_, jax.lax.ppermute(sel_, "graph", perm)
 
     def local(src_e, dst_e, mask_e, coef_e, inv_deg_l, dangling_l,
               out_deg_l, sources, eps):
@@ -158,6 +198,22 @@ def make_node_sharded_annealed_topk(
         r0 = jnp.where(deg_src[:, None] == 0, 0.0, onehot_l)
         p0 = jnp.zeros_like(onehot_l)
 
+        def _block_gather_acc(dense_chunk, s, acc):
+            """Shared hop body: this dst-shard's block-s edge contributions
+            accumulated from a dense [B_l, n_local] source chunk."""
+            src_t = jax.lax.dynamic_index_in_dim(src_e[0], s, 0, False)
+            dst_t = jax.lax.dynamic_index_in_dim(dst_e[0], s, 0, False)
+            msk_t = jax.lax.dynamic_index_in_dim(mask_e[0], s, 0, False)
+            contrib = jnp.take(dense_chunk, src_t, axis=-1) * msk_t
+            if weighted:
+                cf_t = jax.lax.dynamic_index_in_dim(coef_e[0], s, 0, False)
+                contrib = contrib * cf_t
+            add = jax.ops.segment_sum(
+                jnp.moveaxis(contrib, -1, 0), dst_t,
+                num_segments=n_local, indices_are_sorted=True,
+            )
+            return acc + jnp.moveaxis(add, 0, -1)
+
         def sweep(p_l, r_l):
             """One propagation sweep over the ring (O(n/S) transients)."""
             p_l = p_l + alpha_f * r_l
@@ -171,19 +227,7 @@ def make_node_sharded_annealed_topk(
             def hop(t, carry):
                 chunk_, acc = carry
                 s = jax.lax.rem(my - t + s_graph, s_graph)
-                src_t = jax.lax.dynamic_index_in_dim(src_e[0], s, 0, False)
-                dst_t = jax.lax.dynamic_index_in_dim(dst_e[0], s, 0, False)
-                msk_t = jax.lax.dynamic_index_in_dim(mask_e[0], s, 0, False)
-                contrib = jnp.take(chunk_, src_t, axis=-1) * msk_t
-                if weighted:
-                    cf_t = jax.lax.dynamic_index_in_dim(coef_e[0], s, 0,
-                                                        False)
-                    contrib = contrib * cf_t
-                add = jax.ops.segment_sum(
-                    jnp.moveaxis(contrib, -1, 0), dst_t,
-                    num_segments=n_local, indices_are_sorted=True,
-                )
-                acc = acc + jnp.moveaxis(add, 0, -1)
+                acc = _block_gather_acc(chunk_, s, acc)
                 # rotate AFTER use; the final hop's rotation is skipped
                 # (both cond branches are collective-free when S == 1)
                 chunk_ = jax.lax.cond(
@@ -195,6 +239,53 @@ def make_node_sharded_annealed_topk(
                 0, s_graph, hop, (chunk, jnp.zeros_like(r_l))
             )
             return p_l, acc + dang_mass * onehot_l
+
+        def sweep_frontier(p_l, r_l):
+            """Frontier-compacted sweep: push only the top-C residue-mass
+            column blocks; circulate [B_l, C*blk] values + [C] block ids.
+            Unselected residue defers in place (exact — see factory
+            docstring); wire bytes shrink C/NB per hop."""
+            b_l = r_l.shape[0]
+            pad = NB * blk - n_local
+            r_pad = jnp.pad(r_l, ((0, 0), (0, pad)))
+            mass = jnp.sum(r_pad.reshape(b_l, NB, blk), axis=(0, 2))  # [NB]
+            _, sel = jax.lax.top_k(mass, C)
+            sel = jnp.sort(sel).astype(jnp.int32)
+            m_blk = jnp.zeros((NB,), jnp.float32).at[sel].set(1.0)
+            M = jnp.repeat(m_blk, blk)[:n_local][None, :]   # [1, n_local]
+            r_push = r_l * M
+            p_l = p_l + alpha_f * r_push
+            rem = (1.0 - alpha_f) * r_push
+            dang_mass = jax.lax.psum(
+                jnp.sum(rem * dangling_l[None, :], axis=-1, keepdims=True),
+                "graph",
+            )
+            chunk = rem if weighted else rem * inv_deg_l[None, :]
+            comp = jnp.pad(chunk, ((0, 0), (0, pad))) \
+                .reshape(b_l, NB, blk)[:, sel, :]           # [B_l, C, blk]
+
+            def hop(t, carry):
+                comp_, sel_, acc = carry
+                s = jax.lax.rem(my - t + s_graph, s_graph)
+                dense = (
+                    jnp.zeros((b_l, NB, blk), jnp.float32)
+                    .at[:, sel_, :].set(comp_)
+                    .reshape(b_l, NB * blk)[:, :n_local]
+                )
+                acc = _block_gather_acc(dense, s, acc)
+                comp_, sel_ = jax.lax.cond(
+                    t < s_graph - 1, _rot_pair, lambda c: c, (comp_, sel_)
+                )
+                return comp_, sel_, acc
+
+            _, _, acc = jax.lax.fori_loop(
+                0, s_graph, hop, (comp, sel, jnp.zeros_like(r_l))
+            )
+            r_new = r_l * (1.0 - M) + acc + dang_mass * onehot_l
+            return p_l, r_new
+
+        if C is not None:
+            sweep = sweep_frontier
 
         def cond(state):
             _, _, delta, finished, it = state
@@ -286,7 +377,8 @@ class NodeShardedForaTopk:
 
     def __init__(self, dataset, alpha: float = 0.15, k: int = 10, *,
                  mesh: Mesh | None = None, max_iters: int = 600,
-                 ring_dtype: str = "f32"):
+                 ring_dtype: str = "f32", frontier_blocks: int | None = None,
+                 num_blocks: int = 64):
         self.dataset = dataset
         self.graph = dataset.graph
         self.alpha = float(alpha)
@@ -296,6 +388,8 @@ class NodeShardedForaTopk:
         self.min_delta = 1.0 / n
         self.max_iters = max_iters
         self.ring_dtype = ring_dtype
+        self.frontier_blocks = frontier_blocks
+        self.num_blocks = num_blocks
         self.mesh = mesh if mesh is not None else make_mesh()
         self._mesh_shape = dict(zip(self.mesh.axis_names,
                                     self.mesh.devices.shape))
@@ -320,6 +414,8 @@ class NodeShardedForaTopk:
                 self.mesh, self.graph, alpha=self.alpha, k=k, kcap=kcap,
                 delta0=1.0 / k, min_delta=self.min_delta,
                 max_iters=self.max_iters, ring_dtype=self.ring_dtype,
+                frontier_blocks=self.frontier_blocks,
+                num_blocks=self.num_blocks,
             )
         return self._programs[key]
 
