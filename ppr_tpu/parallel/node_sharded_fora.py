@@ -53,13 +53,28 @@ from .node_sharded import (
 from .sharded import make_mesh
 
 
-def _put_blocks(g: Graph, mesh: Mesh):
+def _put_blocks(g: Graph, mesh: Mesh, col_perm: np.ndarray | None = None):
     """Device-put the (dst-shard, src-shard) edge blocks + node-range arrays
-    sharded along 'graph'. Returns (arrays dict, n_local)."""
+    sharded along 'graph'. Returns (arrays dict, n_local).
+
+    ``col_perm`` ([S, n_local], ``col_perm[s, j]`` = the original local
+    column of shard *s* sitting at PERMUTED position *j*) remaps every
+    edge block's src indices into the permuted basis: the frontier ring
+    circulates degree-sorted chunks, and pre-mapping the edge gather
+    indices here means the hop path pays zero extra permutation work."""
     s_graph = dict(zip(mesh.axis_names, mesh.devices.shape))["graph"]
     src_b, dst_b, mask_b, coef_b, n_local = partition_edges_by_dst_src(
         g, s_graph
     )
+    if col_perm is not None:
+        inv = np.empty_like(col_perm)                     # [S, n_local]
+        np.put_along_axis(inv, col_perm,
+                          np.broadcast_to(np.arange(n_local),
+                                          col_perm.shape), axis=1)
+        src_b = np.asarray(src_b)
+        # block [s_dst, s_src] holds src indices local to shard s_src
+        for s_src in range(s_graph):
+            src_b[:, s_src, :] = inv[s_src][src_b[:, s_src, :]]
     block_spec = NamedSharding(mesh, P("graph", None, None))
     node_spec = NamedSharding(mesh, P("graph"))
     inv_deg = jnp.where(
@@ -95,6 +110,7 @@ def make_node_sharded_annealed_topk(
     ring_dtype: str = "f32",
     frontier_blocks: int | None = None,
     num_blocks: int = 64,
+    block_order: str = "degree",
 ):
     """Build the jitted end-to-end node-sharded FORA top-k program.
 
@@ -132,11 +148,40 @@ def make_node_sharded_annealed_topk(
     mass on power-law graphs concentrates on hub blocks
     (scripts/ring_occupancy.py measures the coverage curve), so small C
     costs few extra sweeps while dividing the ICI bytes.
+
+    ``block_order="degree"`` (frontier mode's default) permutes each
+    shard's chunk columns by descending in-degree before blocking:
+    residue mass concentrates on high-in-degree nodes (they receive the
+    pushes), but node ids scatter hubs across CONTIGUOUS blocks, which is
+    why id-ordered blocks measure poor mass coverage
+    (results/ring_occupancy.json: coverage(1/8) ~ 0.49 on the 65k
+    headline graph -> 2.4x sweep inflation). Degree-sorting packs the
+    hubs into the leading blocks. The edge gather indices are pre-mapped
+    into the permuted basis at build time (:func:`_put_blocks`), so hops
+    pay nothing extra; ``block_order="id"`` keeps contiguous blocks.
     """
     alpha_f = jnp.float32(alpha)
     mesh_shape = dict(zip(mesh.axis_names, mesh.devices.shape))
     s_graph = mesh_shape["graph"]
-    arrays, n_local = _put_blocks(g, mesh)
+    col_perm = None
+    if frontier_blocks is not None and block_order == "degree":
+        n_local_pre = g.n_pad // s_graph
+        in_deg = np.bincount(np.asarray(g.edge_dst_bydst),
+                             minlength=g.n_pad)[: g.n_pad]
+        col_perm = np.stack([
+            np.argsort(-in_deg[s * n_local_pre:(s + 1) * n_local_pre],
+                       kind="stable").astype(np.int32)
+            for s in range(s_graph)
+        ])
+    elif block_order not in ("degree", "id"):
+        raise ValueError(f"block_order must be 'degree' or 'id', got "
+                         f"{block_order!r}")
+    arrays, n_local = _put_blocks(g, mesh, col_perm=col_perm)
+    if col_perm is not None:
+        arrays["colperm"] = jax.device_put(
+            jnp.asarray(col_perm.reshape(-1)),
+            NamedSharding(mesh, P("graph")),
+        )
     weighted = arrays["coef"] is not None
     perm = [(i, (i + 1) % s_graph) for i in range(s_graph)]
     if ring_dtype not in ("f32", "bf16"):
@@ -174,9 +219,10 @@ def make_node_sharded_annealed_topk(
         return comp_, jax.lax.ppermute(sel_, "graph", perm)
 
     def local(src_e, dst_e, mask_e, coef_e, inv_deg_l, dangling_l,
-              out_deg_l, sources, eps):
+              out_deg_l, perm_l, sources, eps):
         # src_e/dst_e/mask_e[/coef_e]: [1, S, E] this dst-shard's blocks;
-        # inv_deg_l/dangling_l/out_deg_l: [n_local]; sources: [B_local]
+        # inv_deg_l/dangling_l/out_deg_l: [n_local]; sources: [B_local];
+        # perm_l: [n_local] degree-sorted column order (frontier) or None
         my = jax.lax.axis_index("graph").astype(jnp.int32)
         base = my * n_local
         b_l = sources.shape[0]
@@ -247,12 +293,21 @@ def make_node_sharded_annealed_topk(
             docstring); wire bytes shrink C/NB per hop."""
             b_l = r_l.shape[0]
             pad = NB * blk - n_local
-            r_pad = jnp.pad(r_l, ((0, 0), (0, pad)))
+            # block mass / payload in the (optionally degree-sorted)
+            # permuted basis; edge src indices are pre-mapped to it
+            r_basis = (jnp.take(r_l, perm_l, axis=-1)
+                       if perm_l is not None else r_l)
+            r_pad = jnp.pad(r_basis, ((0, 0), (0, pad)))
             mass = jnp.sum(r_pad.reshape(b_l, NB, blk), axis=(0, 2))  # [NB]
             _, sel = jax.lax.top_k(mass, C)
             sel = jnp.sort(sel).astype(jnp.int32)
             m_blk = jnp.zeros((NB,), jnp.float32).at[sel].set(1.0)
-            M = jnp.repeat(m_blk, blk)[:n_local][None, :]   # [1, n_local]
+            m_flat = jnp.repeat(m_blk, blk)[:n_local]       # permuted basis
+            if perm_l is not None:
+                M = jnp.zeros((n_local,), jnp.float32) \
+                    .at[perm_l].set(m_flat)[None, :]        # original basis
+            else:
+                M = m_flat[None, :]
             r_push = r_l * M
             p_l = p_l + alpha_f * r_push
             rem = (1.0 - alpha_f) * r_push
@@ -261,6 +316,8 @@ def make_node_sharded_annealed_topk(
                 "graph",
             )
             chunk = rem if weighted else rem * inv_deg_l[None, :]
+            if perm_l is not None:
+                chunk = jnp.take(chunk, perm_l, axis=-1)
             comp = jnp.pad(chunk, ((0, 0), (0, pad))) \
                 .reshape(b_l, NB, blk)[:, sel, :]           # [B_l, C, blk]
 
@@ -335,22 +392,30 @@ def make_node_sharded_annealed_topk(
         ids = jnp.take_along_axis(ids_all, sel, axis=1)
         return vals, ids, p_f, iters
 
-    if weighted:
-        fn = local
-        block_specs = (P("graph", None, None),) * 4
-    else:
-        def fn(src_e, dst_e, mask_e, inv_deg_l, dangling_l, out_deg_l,
-               sources, eps):
-            return local(src_e, dst_e, mask_e, None, inv_deg_l, dangling_l,
-                         out_deg_l, sources, eps)
+    use_perm = col_perm is not None
 
-        block_specs = (P("graph", None, None),) * 3
+    def fn(*args):
+        args = list(args)
+        src_e, dst_e, mask_e = args[:3]
+        i = 3
+        coef_e = args[i] if weighted else None
+        i += int(weighted)
+        inv_deg_l, dangling_l, out_deg_l = args[i:i + 3]
+        i += 3
+        perm_l = args[i] if use_perm else None
+        i += int(use_perm)
+        sources, eps = args[i:]
+        return local(src_e, dst_e, mask_e, coef_e, inv_deg_l, dangling_l,
+                     out_deg_l, perm_l, sources, eps)
+
+    block_specs = (P("graph", None, None),) * (3 + int(weighted))
 
     mapped = jax.shard_map(
         fn,
         mesh=mesh,
         in_specs=block_specs + (
             P("graph"), P("graph"), P("graph"),   # inv_deg, dangling, deg
+        ) + ((P("graph"),) if use_perm else ()) + (
             P("data"),                            # sources
             P(),                                  # eps
         ),
@@ -378,7 +443,7 @@ class NodeShardedForaTopk:
     def __init__(self, dataset, alpha: float = 0.15, k: int = 10, *,
                  mesh: Mesh | None = None, max_iters: int = 600,
                  ring_dtype: str = "f32", frontier_blocks: int | None = None,
-                 num_blocks: int = 64):
+                 num_blocks: int = 64, block_order: str = "degree"):
         self.dataset = dataset
         self.graph = dataset.graph
         self.alpha = float(alpha)
@@ -390,6 +455,7 @@ class NodeShardedForaTopk:
         self.ring_dtype = ring_dtype
         self.frontier_blocks = frontier_blocks
         self.num_blocks = num_blocks
+        self.block_order = block_order
         self.mesh = mesh if mesh is not None else make_mesh()
         self._mesh_shape = dict(zip(self.mesh.axis_names,
                                     self.mesh.devices.shape))
@@ -415,7 +481,7 @@ class NodeShardedForaTopk:
                 delta0=1.0 / k, min_delta=self.min_delta,
                 max_iters=self.max_iters, ring_dtype=self.ring_dtype,
                 frontier_blocks=self.frontier_blocks,
-                num_blocks=self.num_blocks,
+                num_blocks=self.num_blocks, block_order=self.block_order,
             )
         return self._programs[key]
 
@@ -426,8 +492,10 @@ class NodeShardedForaTopk:
         args = [arrays["src"], arrays["dst"], arrays["mask"]]
         if arrays["coef"] is not None:
             args.append(arrays["coef"])
-        args += [arrays["inv_deg"], arrays["dangling"], arrays["out_deg"],
-                 sources_j, jnp.float32(eps)]
+        args += [arrays["inv_deg"], arrays["dangling"], arrays["out_deg"]]
+        if "colperm" in arrays:
+            args.append(arrays["colperm"])
+        args += [sources_j, jnp.float32(eps)]
         return fn(*args)
 
     def compute_topk_ids_batch(self, sources: np.ndarray, k: int, param, *,

@@ -159,28 +159,33 @@ def empirical_inflation(ds, sources, param, k=10, alpha=0.15):
     out["dense_oracle_err"] = oracle_err(dense)
     out["frontier"] = []
     NB = 64
-    for c in (NB // 16, NB // 8, NB // 4, NB // 2):
-        eng = NodeShardedForaTopk(ds, alpha, k, mesh=mesh,
-                                  frontier_blocks=c, num_blocks=NB)
-        v_f, i_f, it_f = run(eng)
-        ok = True
-        for row in range(len(sources)):
-            sup = min(k, int((v_d[row] > 0).sum()),
-                      int((v_f[row] > 0).sum()))
-            if set(i_f[row][:sup].tolist()) != set(i_d[row][:sup].tolist()):
-                ok = False
-        out["frontier"].append({
-            "capacity_blocks": c,
-            "capacity_frac": c / NB,
-            "sweeps": it_f,
-            "sweep_inflation": it_f / max(it_d, 1),
-            # strict borderline-id agreement with the dense run; False
-            # means tail-rank drift between two valid stopping states,
-            # NOT an error — the oracle errors below are the arbiter
-            # (deferral terminates later, typically MORE accurate)
-            "ids_match_dense": ok,
-            "oracle_err": oracle_err(eng),
-        })
+    for order in ("degree", "id"):
+        for c in (NB // 16, NB // 8, NB // 4, NB // 2):
+            eng = NodeShardedForaTopk(ds, alpha, k, mesh=mesh,
+                                      frontier_blocks=c, num_blocks=NB,
+                                      block_order=order)
+            v_f, i_f, it_f = run(eng)
+            ok = True
+            for row in range(len(sources)):
+                sup = min(k, int((v_d[row] > 0).sum()),
+                          int((v_f[row] > 0).sum()))
+                if set(i_f[row][:sup].tolist()) \
+                        != set(i_d[row][:sup].tolist()):
+                    ok = False
+            out["frontier"].append({
+                "block_order": order,
+                "capacity_blocks": c,
+                "capacity_frac": c / NB,
+                "sweeps": it_f,
+                "sweep_inflation": it_f / max(it_d, 1),
+                # strict borderline-id agreement with the dense run;
+                # False means tail-rank drift between two valid stopping
+                # states, NOT an error — the oracle errors below are the
+                # arbiter (deferral terminates later, typically MORE
+                # accurate)
+                "ids_match_dense": ok,
+                "oracle_err": oracle_err(eng),
+            })
     return out
 
 
@@ -229,9 +234,10 @@ def main(argv=None) -> int:
         if not args.skip_inflation:
             infl = empirical_inflation(ds, sources, args.param, k=args.k)
             entry["empirical"] = infl
-            print(f"   inflation: " + ", ".join(
-                f"C={x['capacity_blocks']}: {x['sweep_inflation']:.2f}x"
-                f"({'ok' if x['ids_match_dense'] else 'MISMATCH'})"
+            print("   inflation: " + ", ".join(
+                f"{x['block_order'][:3]}/C={x['capacity_blocks']}: "
+                f"{x['sweep_inflation']:.2f}x"
+                f"(err {x['oracle_err']:.1e})"
                 for x in infl["frontier"]), flush=True)
         out["graphs"][spec] = entry
     Path(args.out).parent.mkdir(parents=True, exist_ok=True)

@@ -242,6 +242,10 @@ def main(argv=None) -> int:
     ap.add_argument("--slo-ms", type=float, default=None,
                     help="run the server's latency-targeted adaptive "
                          "dispatch cap instead of the static --max-batch")
+    ap.add_argument("--precomputed", default=None, metavar="THRESHOLD[,K]",
+                    help="serve from an existing BASE all-pair store "
+                         "(pure precomputed reads — the latency-critical "
+                         "config; no device sweeps in the serving path)")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (smoke/local testing)")
     ap.add_argument("--prewarm", action="store_true",
@@ -267,11 +271,17 @@ def main(argv=None) -> int:
 
     ds = load_dataset(args.db)
     print(f"dataset {ds.name}: n={ds.graph.n} m={ds.graph.m}", flush=True)
-    svc = PPRService.from_dataset(ds, alpha=args.alpha, eps=args.eps,
-                                  k=args.k, hub_split=args.hub_split,
-                                  early_exit=args.early_exit,
-                                  calibrate=args.calibrate,
-                                  cohort=args.cohort)
+    if args.precomputed:
+        parts = args.precomputed.split(",")
+        pre = (float(parts[0]), int(parts[1]) if len(parts) > 1 else -1)
+        svc = PPRService.from_dataset(ds, alpha=args.alpha, eps=args.eps,
+                                      k=args.k, precomputed=pre)
+    else:
+        svc = PPRService.from_dataset(ds, alpha=args.alpha, eps=args.eps,
+                                      k=args.k, hub_split=args.hub_split,
+                                      early_exit=args.early_exit,
+                                      calibrate=args.calibrate,
+                                      cohort=args.cohort)
     rng = random.Random(args.seed)
     sources = [rng.randrange(ds.graph.n) for _ in range(args.queries)]
 
