@@ -40,7 +40,7 @@ class PPRService:
                  calibrate: bool = False, mesh=None,
                  precomputed: tuple | None = None,
                  early_exit: bool = False, mesh_engine: str = "edge",
-                 cohort: bool = False):
+                 cohort: bool = False, frontier_blocks: int | None = None):
         """``hub_split=H`` enables the dense-hub hybrid SpMV with H hubs in
         the FORA serving kernels (bf16 hub matrix unless ``hub_dtype``
         overrides — the measured-fastest serving config on power-law
@@ -72,6 +72,7 @@ class PPRService:
                 ("mesh", mesh), ("hub_split", hub_split),
                 ("calibrate", calibrate or None),
                 ("cohort", cohort or None),
+                ("frontier_blocks", frontier_blocks),
             ) if v is not None] + (
                 ["algorithm"] if algorithm != AlgoType.FORA_TOPK else []
             )
@@ -87,14 +88,27 @@ class PPRService:
             base.attach_store(thr, pk, alpha=alpha)
             self._topk_algo = self._wg_algo = base
             return
+        if frontier_blocks is not None and (
+                mesh is None or mesh_engine != "node"):
+            # loud, like the precomputed= conflicts: frontier compaction
+            # only exists on the node-sharded ring
+            raise ValueError(
+                "frontier_blocks requires mesh= and mesh_engine='node' "
+                "(the ring-exchange engine); drop it or switch engines"
+            )
         if mesh is not None and algorithm == AlgoType.FORA_TOPK:
             if mesh_engine == "node":
                 # O(n/S)-memory engine: node dimension PARTITIONED over the
                 # 'graph' axis (graphs beyond one device's HBM)
                 from .parallel.node_sharded_fora import NodeShardedForaTopk
 
-                self._topk_algo = NodeShardedForaTopk(dataset, alpha=alpha,
-                                                      k=k, mesh=mesh)
+                # frontier_blocks=C compacts the ring payload to the C
+                # highest-mass degree-sorted column blocks per sweep
+                # (parallel/node_sharded_fora.py; exact deferral)
+                self._topk_algo = NodeShardedForaTopk(
+                    dataset, alpha=alpha, k=k, mesh=mesh,
+                    frontier_blocks=frontier_blocks,
+                )
             elif mesh_engine == "edge":
                 from .parallel.sharded_fora import ShardedForaTopk
 

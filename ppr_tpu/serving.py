@@ -739,6 +739,14 @@ def main(argv=None) -> int:
     ap.add_argument("--mesh", default=None, metavar="DATAxGRAPH",
                     help="serve from the sharded engine on a DATAxGRAPH "
                          "device mesh (e.g. 4x2)")
+    ap.add_argument("--mesh-engine", default="edge",
+                    choices=["edge", "node"],
+                    help="mesh layout: edge-sharded (throughput) or "
+                         "node-sharded O(n/S) ring (memory scaling)")
+    ap.add_argument("--frontier-blocks", type=int, default=None,
+                    help="node-sharded ring only: circulate just the C "
+                         "highest-mass degree-sorted column blocks per "
+                         "sweep (frontier compaction; exact)")
     ap.add_argument("--precomputed", default=None, metavar="THRESHOLD[,K]",
                     help="serve from an existing BASE all-pair store "
                          "(pure precomputed reads, no device work)")
@@ -761,7 +769,9 @@ def main(argv=None) -> int:
                                   mesh=mesh, precomputed=precomputed,
                                   early_exit=args.early_exit,
                                   calibrate=args.calibrate,
-                                  cohort=args.cohort)
+                                  cohort=args.cohort,
+                                  mesh_engine=args.mesh_engine,
+                                  frontier_blocks=args.frontier_blocks)
     print(json.dumps({"ready": True, "dataset": ds.name,
                       "n": ds.graph.n, "m": ds.graph.m}),
           file=sys.stderr, flush=True)
