@@ -45,10 +45,17 @@ bank 1 grqc FORA_WHOLE_GRAPH:1 1800
 bank 1 grqc FORA_WHOLE_GRAPH:2 1800
 bank 1 grqc FORA_WHOLE_GRAPH:3 1800
 bank 1 grqc FORA_WHOLE_GRAPH:4 1800
-bank 2 amazon MC:1 2400
+PPR_TPU_WALK_CAP_FLOOR=2097152 bank 2 amazon MC:1 2400
 bank 1 grqc MC:1 1800
 bank 1 grqc MC:2 1800
 bank 1 flickr MC:2 1800
+
+# ---- deferred part-1 P3 singles (mid-cost Test-3 params) ----
+bank 3 grqc FORA_WHOLE_GRAPH:2 2400 --fora-completion walks
+bank 3 flickr FWDPUSH:2 3600
+PPR_TPU_WALK_CAP_FLOOR=2097152 bank 3 flickr MC:1 5400
+bank 3 flickr FORA_WHOLE_GRAPH:1 5400 --fora-completion walks
+bank 3 blogcatalog MC:1 5400
 
 # ---- P5b: ~5-20 min each ----
 bank 1 flickr MC:3 2400
@@ -59,7 +66,7 @@ bank 1 flickr BASE_WHOLE_GRAPH:1 2400
 bank 1 flickr BASE_WHOLE_GRAPH:2 2400
 bank 1 flickr BASE_WHOLE_GRAPH:3 2400
 bank 1 flickr BASE_WHOLE_GRAPH:4 2400
-bank 2 amazon MC:2 2400
+PPR_TPU_WALK_CAP_FLOOR=2097152 bank 2 amazon MC:2 2400
 bank 1 flickr MC:4 2700
 
 # ---- part-1 priority 4 (Test-3 deeper tails) ----
@@ -78,16 +85,16 @@ bank 2 flickr BASE_WHOLE_GRAPH:1 2700
 bank 2 flickr BASE_WHOLE_GRAPH:2 2700
 bank 2 flickr BASE_WHOLE_GRAPH:3 2700
 bank 2 flickr BASE_WHOLE_GRAPH:4 2700
-bank 1 amazon MC:1 3600
+PPR_TPU_WALK_CAP_FLOOR=2097152 bank 1 amazon MC:1 3600
 bank 1 grqc MC:4 3600
 bank 2 grqc MC:4 3600
 bank 2 amazon BASE_WHOLE_GRAPH:1 3600
 bank 2 amazon BASE_WHOLE_GRAPH:2 3600
 bank 2 blogcatalog MC:4 5400
-bank 2 amazon MC:3 3600
+PPR_TPU_WALK_CAP_FLOOR=2097152 bank 2 amazon MC:3 3600
 bank 2 amazon BASE_WHOLE_GRAPH:3 5400
 bank 1 amazon BASE_WHOLE_GRAPH:1 5400
 bank 3 grqc MC:1 5400
 bank 3 blogcatalog MC:3 5400
-bank 1 amazon MC:2 5400
+PPR_TPU_WALK_CAP_FLOOR=2097152 bank 1 amazon MC:2 5400
 echo "=== round5 grid part 2 finished ($(date -u +%H:%M:%S)) ==="
