@@ -67,6 +67,17 @@ if [ -e results/headline_base_store.done ] && \
   echo "rc=$?"
 fi
 
+# Phase K0: headline-graph B=2048 probe — the knee study fixed B=1024;
+# more batch amortization may sit past it (cheap: no CPU baseline).
+if [ ! -s results/hub_knee_b2048.json ]; then
+  log "phase K0: headline B=2048 hub probe"
+  timeout 3600 python scripts/hub_knee.py --db synth:65536x16 \
+    --batch 2048 --hubs 4096,8192 --reps 3 \
+    --out results/hub_knee_b2048.json \
+    > results/hub_knee_b2048.log 2>&1
+  echo "rc=$?"
+fi
+
 # Phase K1: 1M-node H x B knee sweep (VERDICT r4 item 4). Appends each
 # point to the artifact immediately; a re-run skips recorded points.
 if [ ! -e results/scale_1m_knee.done ]; then
