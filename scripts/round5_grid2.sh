@@ -51,6 +51,10 @@ bank 1 grqc MC:2 1800
 bank 1 flickr MC:2 1800
 
 # ---- deferred part-1 P3 singles (mid-cost Test-3 params) ----
+# flickr NEO4J prep params timed out in part 1 (store d2h dominates at
+# 82k sources); their npz stores resume mid-param, so a retry completes
+bank 3 flickr NEO4J_METHOD:1 3600
+bank 3 flickr NEO4J_METHOD:2 3600
 bank 3 grqc FORA_WHOLE_GRAPH:2 2400 --fora-completion walks
 bank 3 flickr FWDPUSH:2 3600
 PPR_TPU_WALK_CAP_FLOOR=2097152 bank 3 flickr MC:1 5400
