@@ -234,6 +234,7 @@ def two_host_prediction(g: Graph, *, batch: int = 512,
             dict(n2_frontier.as_dict(), **{
                 "capacity_frac": frontier["capacity_frac"],
                 "sweep_inflation": frontier.get("sweep_inflation", 1.0),
+                "block_order": frontier.get("block_order", "degree"),
                 "source": frontier.get("source",
                                        "results/ring_occupancy.json"),
             }) if n2_frontier is not None else None

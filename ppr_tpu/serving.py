@@ -189,8 +189,8 @@ class PPRBatchServer:
                  max_delay_ms: float = 0.0, bucket: bool = True,
                  slo_ms: float | None = None, min_batch: int = 8,
                  adaptive_width: bool = True, prewarm: bool = False,
-                 idle_hysteresis: int = 2, probe_source: int = 0,
-                 stale_after: int = 512):
+                 idle_hysteresis: int = 2, backlog_hysteresis: int = 3,
+                 probe_source: int = 0, stale_after: int = 512):
         self._svc = service
         self.max_batch = int(max_batch)
         self.max_delay_s = float(max_delay_ms) / 1e3
@@ -202,6 +202,10 @@ class PPRBatchServer:
         #: idle cap move (a lone idle gap in a busy stream must not reset
         #: a ladder climb — the round-3 8<->16 oscillation)
         self.idle_hysteresis = int(idle_hysteresis)
+        #: consecutive backlogged dispatches before latency is treated as
+        #: queue-dominated and the cap jumps to the max-rows/sec rung
+        #: (v5 — see _slo_update)
+        self.backlog_hysteresis = int(backlog_hysteresis)
         #: refresh horizon for per-width EWMAs (in dispatches): a rung not
         #: sampled for this long is re-probed rather than trusted forever
         self.stale_after = int(stale_after)
@@ -215,6 +219,7 @@ class PPRBatchServer:
         self._svc_time_at: dict[int, int] = {}
         self._seen_width: set[int] = set()
         self._idle_streak = 0
+        self._backlog_streak = 0
         self._last_probe = -(1 << 30)
         self.stats = ServerStats()
         self._lock = threading.Condition()
@@ -476,6 +481,7 @@ class PPRBatchServer:
         """
         t = self._note_service_time(width, service_ms)
         self._idle_streak = 0 if backlog else self._idle_streak + 1
+        self._backlog_streak = self._backlog_streak + 1 if backlog else 0
         if t is None:
             return
         cap = self._slo_cap
@@ -522,23 +528,63 @@ class PPRBatchServer:
                 new = min(max(best, lo), hi)
                 if new > cap or self._idle_streak >= self.idle_hysteresis:
                     self._slo_cap = new
+        elif backlog and self._backlog_streak >= self.backlog_hysteresis:
+            # v5 (round 5, measured): SUSTAINED backlog means request
+            # latency is queue-dominated and the 2*t dispatch model
+            # undercounts it — any rung whose rows/sec sits below the
+            # offered load only grows the queue, however fast one
+            # dispatch looks. The slo800-v4 run proved it: the breach
+            # jump parked the cap on the latency-optimal rung 16
+            # (t=289 ms but 55 rows/s vs 96 offered) and the 50%-load
+            # row hit p95 14.8 s pure queueing
+            # (results/serving_latency_slo800_v4.json). Serve the queue
+            # at the max-throughput rung until it clears; the idle logic
+            # then restores the latency-optimal rung. Never shrink here.
+            best = max((w for w in warm if lo <= w <= hi),
+                       key=lambda w: w / warm[w], default=None)
+            cap_t = warm.get(cap)
+            cap_rps = (cap / cap_t) if cap_t else 0.0
+            if best is not None and best != cap \
+                    and best / warm[best] > 1.1 * cap_rps:
+                # argmax rows/sec over warm rungs by definition never
+                # reduces the drain rate, whichever direction it lies;
+                # the 10% margin keeps noisy near-equal rungs from
+                # ping-ponging the cap (which would starve the grow
+                # probe below)
+                self._slo_cap = min(max(best, lo), hi)
+            elif cap < hi:
+                # no clearly-better warm rung: probe one rung wider (the
+                # queue pays one cold compile, which the EWMA skips) —
+                # without this the sustained branch would pin the cap
+                # inside the warmed prefix of the ladder forever
+                self._slo_cap = cap * 2
         elif 2.0 * t > self.slo_ms:
             # v4 breach rule: one evidence-based jump to the fastest warm
-            # rung (any direction), never a blind halving walk. Margin
-            # (10%) keeps two near-equal rungs from flapping. Since t
-            # breaches but t_best fits (the unattainable branch above
-            # owns the all-breach case), the jump target meets the SLO.
+            # rung, never a blind halving walk. Margin (10%) keeps two
+            # near-equal rungs from flapping. Since t breaches but t_best
+            # fits (the unattainable branch above owns the all-breach
+            # case), the jump target meets the SLO. v5 constraints: under
+            # (transient) backlog only THROUGHPUT-SAFE jumps (rows/sec at
+            # least the current rung's) are allowed, and downward jumps
+            # when idle wait out `idle_hysteresis` like the best-effort
+            # idle move — both guards exist because the latency-optimal
+            # rung may be a throughput trap (see the branch above).
             cands = {w: tw for w, tw in warm.items()
                      if lo <= w <= hi and tw < 0.9 * t}
+            if backlog:
+                cur_rps = width / max(t, 1e-9)
+                cands = {w: tw for w, tw in cands.items()
+                         if w / tw >= cur_rps}
             if cands:
                 best = min(cands, key=cands.get)
-                self._slo_cap = min(max(best, lo), hi)
+                new = min(max(best, lo), hi)
+                if new >= cap or backlog \
+                        or self._idle_streak >= self.idle_hysteresis:
+                    self._slo_cap = new
             elif cap > lo and (cap // 2) not in warm and not backlog:
                 # cold-start fallback only: the rung below was never
                 # sampled, so explore downward (classic-backend prior) —
-                # but never under backlog, where a shrink drops
-                # throughput below the offered load by construction (the
-                # v3 spiral's mechanism).
+                # never under backlog (the v3 spiral's mechanism).
                 self._slo_cap = max(lo, cap // 2)
             # else: hold — the current rung is the best evidence we have
         elif backlog and cap < hi:

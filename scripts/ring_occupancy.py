@@ -125,7 +125,8 @@ def dense_coverage(ds, sources, param, k=10, alpha=0.15, max_iters=600):
     return rows, agg
 
 
-def empirical_inflation(ds, sources, param, k=10, alpha=0.15):
+def empirical_inflation(ds, sources, param, k=10, alpha=0.15,
+                        orders=("degree", "id"), caps=(4, 8, 16, 32)):
     """Part B: measured sweep counts dense vs frontier on the CPU mesh."""
     import numpy as np
     import jax.numpy as jnp
@@ -159,8 +160,8 @@ def empirical_inflation(ds, sources, param, k=10, alpha=0.15):
     out["dense_oracle_err"] = oracle_err(dense)
     out["frontier"] = []
     NB = 64
-    for order in ("degree", "id"):
-        for c in (NB // 16, NB // 8, NB // 4, NB // 2):
+    for order in orders:
+        for c in caps:
             eng = NodeShardedForaTopk(ds, alpha, k, mesh=mesh,
                                       frontier_blocks=c, num_blocks=NB,
                                       block_order=order)
@@ -197,6 +198,8 @@ def main(argv=None) -> int:
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--skip-inflation", action="store_true")
+    ap.add_argument("--orders", default="degree,id")
+    ap.add_argument("--caps", default="4,8,16,32")
     ap.add_argument("--out", default="results/ring_occupancy.json")
     args = ap.parse_args(argv)
 
@@ -232,7 +235,11 @@ def main(argv=None) -> int:
         entry = {"n": ds.graph.n, "m": ds.graph.m,
                  "aggregate": agg, "per_sweep": rows}
         if not args.skip_inflation:
-            infl = empirical_inflation(ds, sources, args.param, k=args.k)
+            infl = empirical_inflation(
+                ds, sources, args.param, k=args.k,
+                orders=tuple(args.orders.split(",")),
+                caps=tuple(int(x) for x in args.caps.split(",")),
+            )
             entry["empirical"] = infl
             print("   inflation: " + ", ".join(
                 f"{x['block_order'][:3]}/C={x['capacity_blocks']}: "

@@ -11,6 +11,11 @@ export PYTHONPATH="/root/.axon_site:${PYTHONPATH:-}"
 STAMP="results/round5_grid_done"
 mkdir -p "$STAMP"
 
+# SLO v5 re-measurement first: the v4 run found the rung-16 queueing trap
+# and the policy was fixed mid-round; the v5 artifacts are the headline
+# VERDICT item and outrank further grid rows.
+bash scripts/round5_slo_v5.sh >> results/round5_measurements.log 2>&1
+
 bank() {  # bank <test#> <db> <algo:start> <timeout-s> [extra args...]
   local test="$1" db="$2" spec="$3" tmo="$4"; shift 4
   local tag="t${test}_${db}_${spec/:/_p}"

@@ -307,6 +307,8 @@ def test_slo_cold_sample_ignored():
     server._svc_time_at = {}
     server._seen_width = set()
     server._idle_streak = 0
+    server._backlog_streak = 0
+    server.backlog_hysteresis = 3
     from ppr_tpu.serving import ServerStats
 
     server.stats = ServerStats()
@@ -458,6 +460,8 @@ def _policy_server(slo_ms=800.0, max_batch=256, warm=None, cap=64):
     server._svc_time_at = {w: 0 for w in (warm or {})}
     server._seen_width = set(warm or {})
     server._idle_streak = 0
+    server._backlog_streak = 0
+    server.backlog_hysteresis = 3
     server.stats = ServerStats()
     return server
 
@@ -498,10 +502,17 @@ def test_slo_breach_blind_shrink_refused_under_backlog():
 def test_slo_breach_jump_beats_classic_shrink_when_evidence_exists():
     """On a classic (t rising with width) backend the breach jump goes
     DOWN — but straight to the best warm rung, using evidence rather than
-    one blind halving per dispatch."""
+    one blind halving per dispatch. v5: the downward jump is refused
+    under backlog (rows/sec at 8 is below rung 64's — a throughput trap)
+    and waits out idle_hysteresis when idle, exactly like the
+    best-effort idle move."""
     server = _policy_server(
         warm={8: 100.0, 16: 150.0, 64: 350.0}, cap=64)
     server._slo_update(64, 550.0, backlog=True)   # EWMA 450: breach
+    assert server._slo_cap == 64                  # backlog: hold, no trap
+    server._slo_update(64, 550.0, backlog=False)  # idle #1: hysteresis
+    assert server._slo_cap == 64
+    server._slo_update(64, 550.0, backlog=False)  # idle #2
     assert server._slo_cap == 8                   # argmin, in one move
 
 
@@ -549,3 +560,33 @@ def test_prewarm_transient_failure_skips_rung(monkeypatch):
         assert server.stats.prewarmed_widths == [8, 16, 64]
         # serving still works end to end
         assert server.submit(1).result(timeout=60)
+
+
+def test_sustained_backlog_jumps_to_max_throughput_rung():
+    """v5 (measured on TPU, results/serving_latency_slo800_v4.json):
+    under SUSTAINED backlog latency is queue-dominated — the 2*t model
+    undercounts — so after backlog_hysteresis backlogged dispatches the
+    cap must jump to the max rows/sec rung regardless of per-dispatch
+    SLO fit. The measured profile that broke v4: t(16)=289 ms looked
+    SLO-optimal but drains 55 rows/s vs 96 offered."""
+    server = _policy_server(
+        warm={16: 289.0, 64: 404.0, 256: 625.0}, cap=16)
+    for _ in range(3):
+        server._slo_update(16, 289.0, backlog=True)
+    # 256/625 beats 64/404 beats 16/289 in rows per second
+    assert server._slo_cap == 256
+    # and the queue-clearing idle logic can later walk it back down;
+    # sustained backlog itself never reduces the drain rate
+    caps = [c for _, c in server.stats.cap_moves]
+    assert caps == [256]
+
+
+def test_transient_backlog_breach_holds_instead_of_latency_trap():
+    """v5: a breach under TRANSIENT backlog must not jump to a
+    faster-per-dispatch rung whose rows/sec is lower (the throughput
+    trap that parked v4 on rung 16 and queued 14.8 s of p95)."""
+    server = _policy_server(
+        warm={16: 289.0, 64: 404.0, 256: 625.0}, cap=64)
+    server._slo_update(64, 420.0, backlog=True)   # EWMA 412: breach
+    assert server._slo_cap == 64                  # hold: 16 is a trap
+    assert server.stats.cap_moves == []
