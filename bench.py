@@ -157,8 +157,10 @@ def main():
     ap.add_argument("--n", type=int, default=65536)
     ap.add_argument("--deg", type=int, default=16)
     # serving-batch knee measured on TPU v5e: 442 qps at B=256, 533 at 512,
-    # 628 at 1024, 635 at 2048 (PERF.md) — default to the knee
-    ap.add_argument("--batch", type=int, default=1024)
+    # 628 at 1024; the round-5 re-probe at H=4096 measured 651.1 qps at
+    # B=2048 vs 621.2 at 1024 (results/hub_knee_b2048.json) — default to
+    # the re-measured knee
+    ap.add_argument("--batch", type=int, default=2048)
     ap.add_argument("--eps", type=float, default=0.5)
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--alpha", type=float, default=0.15)
