@@ -30,8 +30,12 @@ def main(argv=None) -> int:
     ap.add_argument("--db", default="synth:1048576x8")
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--eps", type=float, default=0.5)
+    # HBM-aware ladders: at n=1M a bf16 hub matrix costs ~2 GB per 1024
+    # hubs (n_pad * H * 2B) next to the [B, n] f32 state arrays — the
+    # first sweep measured H=4096 at B=256 RESOURCE_EXHAUSTED. Points
+    # that still OOM are recorded as failures, not crashes.
     ap.add_argument("--batches", default="256,512,1024")
-    ap.add_argument("--hubs", default="1920,4096,8192,16384")
+    ap.add_argument("--hubs", default="1024,1920,2560,3072")
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--out", default="results/scale_1m_knee.json")
@@ -78,26 +82,31 @@ def main(argv=None) -> int:
             if (b, h) in seen:
                 print(f"skip recorded B={b} H={h}", flush=True)
                 continue
-            fora = ForaTopk(ds, 0.15, args.k, push="none")
-            fora.enable_hub_split(h, dtype=jnp.bfloat16)
-            t0 = time.perf_counter()
-            fora.compute_topk_ids_batch(sources, args.k, args.eps)
-            t_cold = time.perf_counter() - t0
-            t0 = time.perf_counter()
-            for _ in range(args.reps):
+            try:
+                fora = ForaTopk(ds, 0.15, args.k, push="none")
+                fora.enable_hub_split(h, dtype=jnp.bfloat16)
+                t0 = time.perf_counter()
                 fora.compute_topk_ids_batch(sources, args.k, args.eps)
-            dt = (time.perf_counter() - t0) / args.reps
-            hs = fora.hub_split
-            cover = (1.0 - hs.m_tail / max(g.m, 1)) if hs is not None else 0.0
-            row = {"batch": b, "hubs": h,
-                   "hub_edge_cover": round(cover, 4),
-                   "cold_s": round(t_cold, 2),
-                   "s_per_batch": round(dt, 4),
-                   "qps": round(b / dt, 1)}
+                t_cold = time.perf_counter() - t0
+                t0 = time.perf_counter()
+                for _ in range(args.reps):
+                    fora.compute_topk_ids_batch(sources, args.k, args.eps)
+                dt = (time.perf_counter() - t0) / args.reps
+                hs = fora.hub_split
+                cover = (1.0 - hs.m_tail / max(g.m, 1)) \
+                    if hs is not None else 0.0
+                row = {"batch": b, "hubs": h,
+                       "hub_edge_cover": round(cover, 4),
+                       "cold_s": round(t_cold, 2),
+                       "s_per_batch": round(dt, 4),
+                       "qps": round(b / dt, 1)}
+            except Exception as e:  # noqa: BLE001 - OOM points are data
+                row = {"batch": b, "hubs": h, "qps": 0.0,
+                       "error": f"{type(e).__name__}: {str(e)[:160]}"}
             state["rows"].append(row)
             save()
             print(json.dumps(row), flush=True)
-            del fora
+            fora = None
     save()
     print(f"wrote {args.out}")
     return 0
