@@ -304,7 +304,7 @@ def residual_propagate(
             jnp.where(is_dangling, rem, 0.0), axis=0, keepdims=True
         )
         if hs is not None:
-            pushed = push_out_hybrid_t(g, hs, rem)
+            pushed = push_out_hybrid_t(g, hs, rem, num_chunks=num_chunks)
         elif num_chunks > 1:
             pushed = push_out_chunked_t(g, rem, num_chunks=num_chunks)
         else:
@@ -386,7 +386,7 @@ def annealed_topk_propagate(
             jnp.where(is_dangling, rem, 0.0), axis=0, keepdims=True
         )
         if hs is not None:
-            pushed = push_out_hybrid_t(g, hs, rem)
+            pushed = push_out_hybrid_t(g, hs, rem, num_chunks=num_chunks)
         elif num_chunks > 1:
             pushed = push_out_chunked_t(g, rem, num_chunks=num_chunks)
         else:
@@ -493,7 +493,7 @@ def annealed_topk_propagate_perrow(
             jnp.where(is_dangling, rem, 0.0), axis=0, keepdims=True
         )
         if hs is not None:
-            pushed = push_out_hybrid_t(g, hs, rem)
+            pushed = push_out_hybrid_t(g, hs, rem, num_chunks=num_chunks)
         elif num_chunks > 1:
             pushed = push_out_chunked_t(g, rem, num_chunks=num_chunks)
         else:
@@ -597,9 +597,16 @@ class _ForaCostModel:
     _in_preprocessing = False
 
     def _num_chunks(self, batch: int) -> int:
+        # hybrid path gathers only the tail — but at the 1M-node scale the
+        # post-hub tail (~4.5M edges) times a wide batch still overflows
+        # HBM, so size the chunk count from the ACTUAL gathered edge count
+        # (round-5 fix: B=512 at n=1M RESOURCE_EXHAUSTed with the old
+        # hardcoded 1; results/scale_1m_knee.json)
         if self.hub_split is not None:
-            return 1  # hybrid path gathers only the (smaller) tail
-        bytes_ = self.graph.m_pad * max(batch, 1) * 4
+            m_eff = int(self.hub_split.tail_src.shape[0])
+        else:
+            m_eff = self.graph.m_pad
+        bytes_ = m_eff * max(batch, 1) * 4
         return max(1, -(-bytes_ // self.spmv_intermediate_budget))
 
     def enable_hub_split(self, num_hubs: int | str = "auto",

@@ -143,7 +143,8 @@ def push_out_hybrid(g: Graph, hs: HubSplit, a: jax.Array) -> jax.Array:
     return out[0] if squeeze else out
 
 
-def push_out_hybrid_t(g: Graph, hs: HubSplit, a_t: jax.Array) -> jax.Array:
+def push_out_hybrid_t(g: Graph, hs: HubSplit, a_t: jax.Array, *,
+                      num_chunks: int = 1) -> jax.Array:
     """Hybrid push on an already-transposed operand ``a_t: [n_pad, B]``.
 
     Node-major throughout: the hub contribution lands as ``H`` contiguous
@@ -151,6 +152,13 @@ def push_out_hybrid_t(g: Graph, hs: HubSplit, a_t: jax.Array) -> jax.Array:
     and the tail gather reads contiguous rows. Contracting the hub matrix on
     its leading axis means no transpose of either matmul operand is
     materialized.
+
+    ``num_chunks > 1`` processes the TAIL edges in sequential lax.scan
+    chunks, bounding the per-edge intermediate to ``[m_tail/num_chunks,
+    B]`` — at the 1M-node scale even the post-hub tail (~4.5M edges)
+    times B=512 is a 9 GB gather that RESOURCE_EXHAUSTs a single chip
+    (results/scale_1m_knee.json round-5 sweep); the hub matmul is
+    unaffected.
     """
     inv_deg = _safe_inv_deg(g.out_deg)
     scaled_t = a_t * inv_deg[:, None]                   # [n_pad, B] f32
@@ -162,8 +170,36 @@ def push_out_hybrid_t(g: Graph, hs: HubSplit, a_t: jax.Array) -> jax.Array:
         preferred_element_type=jnp.float32,
     )                                                   # [H, B] on the MXU
 
-    contrib_t = jnp.take(scaled_t, hs.tail_src, axis=0)
-    out_t = jax.ops.segment_sum(
-        contrib_t, hs.tail_dst, num_segments=g.n_pad, indices_are_sorted=True
-    )
+    if num_chunks <= 1:
+        contrib_t = jnp.take(scaled_t, hs.tail_src, axis=0)
+        out_t = jax.ops.segment_sum(
+            contrib_t, hs.tail_dst, num_segments=g.n_pad,
+            indices_are_sorted=True,
+        )
+    else:
+        mt = hs.tail_src.shape[0]
+        chunk = -(-mt // num_chunks)
+        pad = chunk * num_chunks - mt
+        # pad edges point at the sentinel n_pad-1 (never a real node;
+        # scaled_t's sentinel row is 0 by the inv_deg mask) — slices of
+        # the dst-sorted tail stay sorted
+        src_chunks = jnp.pad(
+            hs.tail_src, (0, pad), constant_values=g.n_pad - 1
+        ).reshape(num_chunks, chunk)
+        dst_chunks = jnp.pad(
+            hs.tail_dst, (0, pad), constant_values=g.n_pad - 1
+        ).reshape(num_chunks, chunk)
+
+        def step(acc, chunks):
+            src_c, dst_c = chunks
+            contrib = jnp.take(scaled_t, src_c, axis=0)
+            acc = acc + jax.ops.segment_sum(
+                contrib, dst_c, num_segments=g.n_pad,
+                indices_are_sorted=True,
+            )
+            return acc, None
+
+        out_t, _ = jax.lax.scan(
+            step, jnp.zeros_like(scaled_t), (src_chunks, dst_chunks)
+        )
     return out_t.at[hs.hub_ids, :].add(hub_vals_t)

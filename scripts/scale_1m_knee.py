@@ -61,7 +61,12 @@ def main(argv=None) -> int:
              "reps": args.reps, "rows": []}
     if out_path.exists():
         state = json.loads(out_path.read_text())
-        print(f"resuming: {len(state['rows'])} recorded points", flush=True)
+        # error rows (e.g. OOM) are retried on resume — e.g. after a code
+        # fix like the chunked hybrid tail — successful rows are kept
+        retry = [r for r in state["rows"] if "error" in r]
+        state["rows"] = [r for r in state["rows"] if "error" not in r]
+        print(f"resuming: {len(state['rows'])} recorded points, "
+              f"{len(retry)} error points to retry", flush=True)
     seen = {(r["batch"], r["hubs"]) for r in state["rows"]}
 
     ds = load_dataset(args.db)

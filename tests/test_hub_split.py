@@ -149,3 +149,22 @@ def test_fora_topk_with_hub_split_matches(got):
     hub.enable_hub_split(16)
     out = hub.compute_topk_batch(np.arange(0, got.n, 7), 10, 0.5)
     np.testing.assert_allclose(out, ref, atol=1e-5)
+
+
+def test_hybrid_chunked_tail_matches_unchunked(got):
+    """num_chunks>1 bounds the tail gather intermediate (the 1M-node
+    B>=512 OOM fix, results/scale_1m_knee.json); slicing the dst-sorted
+    tail preserves the sorted segment-sum result exactly."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ppr_tpu.ops.hub_split import build_hub_split, push_out_hybrid_t
+
+    g = got.graph
+    hs = build_hub_split(g, 16)
+    rng = np.random.default_rng(0)
+    a_t = jnp.asarray(rng.random((g.n_pad, 4)), jnp.float32)
+    base = np.asarray(push_out_hybrid_t(g, hs, a_t))
+    for nc in (2, 3, 8):
+        out = np.asarray(push_out_hybrid_t(g, hs, a_t, num_chunks=nc))
+        np.testing.assert_allclose(out, base, rtol=1e-6, atol=1e-7)
