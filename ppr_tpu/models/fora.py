@@ -589,6 +589,9 @@ class _ForaCostModel:
     #: HBM budget for the per-edge gather intermediate [m_pad, B]; above it
     #: the propagation loops process edges in sequential chunks
     spmv_intermediate_budget = 2 << 30
+    #: hybrid-tail chunking threshold — see _num_chunks; 6 GB sits just
+    #: above the largest measured-unchunked tail intermediates
+    hybrid_tail_budget = 6 << 30
     #: device->host transfer rate for the preprocessing compaction results;
     #: None = backend default (the tunneled TPU link runs ~22 MB/s)
     d2h_bytes_per_s = None
@@ -601,13 +604,19 @@ class _ForaCostModel:
         # post-hub tail (~4.5M edges) times a wide batch still overflows
         # HBM, so size the chunk count from the ACTUAL gathered edge count
         # (round-5 fix: B=512 at n=1M RESOURCE_EXHAUSTed with the old
-        # hardcoded 1; results/scale_1m_knee.json)
+        # hardcoded 1; results/scale_1m_knee.json). The hybrid tail gets
+        # its own larger budget: every measured-good config (65k B=2048 at
+        # 651 qps, 1M B=256 at 28.1 qps — both ~4.7 GB tails) ran
+        # UNCHUNKED, so chunking must only engage past them, not change
+        # the programs those numbers were measured on.
         if self.hub_split is not None:
             m_eff = int(self.hub_split.tail_src.shape[0])
+            budget = self.hybrid_tail_budget
         else:
             m_eff = self.graph.m_pad
+            budget = self.spmv_intermediate_budget
         bytes_ = m_eff * max(batch, 1) * 4
-        return max(1, -(-bytes_ // self.spmv_intermediate_budget))
+        return max(1, -(-bytes_ // budget))
 
     def enable_hub_split(self, num_hubs: int | str = "auto",
                          dtype=None) -> None:
